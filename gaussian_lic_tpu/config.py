@@ -1,0 +1,130 @@
+"""Configuration system.
+
+Mirrors the reference's flat-YAML ``Params`` (mapping.h:53-118, 27 keys across camera
+intrinsics, keyframe stride, GS hyper-parameters, learning rates, exposure/skybox
+options) as a frozen dataclass, plus the TPU-specific rasterizer/runtime knobs that
+have no reference counterpart (tile shape, slot budgets, capacities).
+
+Dataset presets duplicate config/{fastlivo,r3live,mcd}.yaml, which differ only in
+intrinsics/resolution (SURVEY.md §5).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+from typing import Any, Dict, Optional
+
+
+@dataclass(frozen=True)
+class Params:
+    """All run configuration. Frozen → hashable → usable as a jit static arg."""
+
+    # --- dataset / camera (reference: mapping.h:88-96) ---
+    width: int = 640
+    height: int = 512
+    fx: float = 431.795259219
+    fy: float = 431.550090267
+    cx: float = 310.833037316
+    cy: float = 266.985989326
+    select_every_k_frame: int = 5
+
+    # --- gaussian model (mapping.h:98-105) ---
+    sh_degree: int = 3
+    white_background: bool = False
+    random_background: bool = False
+    convert_SHs_python: bool = False    # accepted for config parity; unused (always kernel SH)
+    compute_cov3D_python: bool = False  # accepted for config parity; unused
+    lambda_erank: float = 0.0
+    scaling_scale: float = 1.0
+
+    # --- optimization (mapping.h:107-112) ---
+    position_lr: float = 0.00016
+    feature_lr: float = 0.0025
+    opacity_lr: float = 0.05
+    scaling_lr: float = 0.005
+    rotation_lr: float = 0.001
+    lambda_dssim: float = 0.2
+
+    # --- exposure / skybox (mapping.h:114-117) ---
+    apply_exposure: bool = False
+    exposure_lr: float = 0.001
+    skybox_points_num: int = 100000
+    skybox_radius: float = 1000.0
+
+    # --- training loop (gaussian.cpp:645) ---
+    max_iters_per_keyframe: int = 100
+
+    # --- TPU rasterizer knobs (no reference counterpart; DESIGN.md §2) ---
+    tile_h: int = 8              # VPU sublane dim
+    tile_w: int = 128            # VPU lane dim
+    max_tiles_per_gaussian: int = 16   # static K tile-slots per Gaussian
+    splat_chunk: int = 16        # splats blended per vectorized step in the Pallas kernel
+
+    # --- capacity management (DESIGN.md §1) ---
+    initial_capacity: int = 1 << 18     # Gaussian array capacity at startup
+    densify_budget: int = 1 << 16       # max candidate points per keyframe extension
+    max_train_keyframes: int = 512      # capacity of the stacked train-camera buffer
+
+    # --- misc ---
+    znear: float = 0.01
+    zfar: float = 100.0
+    seed: int = 0
+
+    @property
+    def num_sh_rest(self) -> int:
+        return (self.sh_degree + 1) ** 2 - 1
+
+    def replace(self, **kw: Any) -> "Params":
+        return dataclasses.replace(self, **kw)
+
+
+# Reference dataset presets: config/fastlivo.yaml, config/r3live.yaml, config/mcd.yaml.
+PRESETS: Dict[str, Dict[str, Any]] = {
+    "fastlivo": dict(
+        width=640, height=512,
+        fx=431.795259219, fy=431.550090267, cx=310.833037316, cy=266.985989326,
+    ),
+    "r3live": dict(
+        width=640, height=512,
+        fx=431.71205, fy=431.70855, cx=320.3404, cy=259.1696,
+    ),
+    "mcd": dict(
+        width=640, height=480,
+        fx=385.538839108671, fy=385.6733947077097,
+        cx=328.2882031921083, cy=243.5295974916248,
+    ),
+}
+
+
+def load_params(
+    path: Optional[str] = None,
+    preset: Optional[str] = None,
+    **overrides: Any,
+) -> Params:
+    """Build Params from a YAML file (reference schema), a named preset, or kwargs.
+
+    YAML keys follow the reference config files exactly (config/fastlivo.yaml:1-28);
+    unknown keys raise to catch typos, matching the reference's eager YAML::as<T>
+    failure mode (mapping.h:56-86).
+    """
+    fields = {f.name for f in dataclasses.fields(Params)}
+    kw: Dict[str, Any] = {}
+    if preset is not None:
+        if preset not in PRESETS:
+            raise KeyError(f"unknown preset {preset!r}; have {sorted(PRESETS)}")
+        kw.update(PRESETS[preset])
+    if path is not None:
+        import yaml  # lazy: only needed for file configs
+
+        with open(path) as f:
+            raw = yaml.safe_load(f) or {}
+        unknown = set(raw) - fields
+        if unknown:
+            raise KeyError(f"unknown config keys in {path}: {sorted(unknown)}")
+        kw.update(raw)
+    unknown = set(overrides) - fields
+    if unknown:
+        raise KeyError(f"unknown config overrides: {sorted(unknown)}")
+    kw.update(overrides)
+    return Params(**kw)

@@ -1,0 +1,88 @@
+"""Losses and image metrics: L1, PSNR, SSIM (fused separable), training loss.
+
+Parity targets:
+  * l1_loss: mean |a−b|                      (loss_utils.h:30-33)
+  * psnr:    10·log10(1/mse)                 (loss_utils.h:35-39)
+  * ssim:    11-tap Gaussian window σ=1.5, same padding, C1=0.01², C2=0.03²
+             (loss_utils.h:51-128 reference conv SSIM; fused-ssim ssim.cu:8-18
+             hardcodes the same separable weights)
+  * training loss: (1−λ)·L1 + λ·(1−SSIM), λ=0.2 (gaussian.cpp:691)
+
+The reference ships a dedicated fused-SSIM CUDA kernel (C14) caching ∂SSIM partials
+for its backward; on TPU the separable depthwise convolutions below fuse inside XLA
+and JAX AD re-derives the same gradients, so no Pallas kernel is needed unless
+profiling says otherwise (DESIGN.md §5).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+C1 = 0.01**2
+C2 = 0.03**2
+_WINDOW_SIZE = 11
+_SIGMA = 1.5
+
+
+def l1_loss(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.mean(jnp.abs(a - b))
+
+
+def psnr(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
+    mse = jnp.mean((img1 - img2) ** 2)
+    return 10.0 * jnp.log10(1.0 / mse)
+
+
+def _gaussian_window(window_size: int = _WINDOW_SIZE, sigma: float = _SIGMA) -> np.ndarray:
+    """Normalized 1D Gaussian taps (loss_utils.h:51-65 uses x − ws//2)."""
+    x = np.arange(window_size, dtype=np.float64) - window_size // 2
+    g = np.exp(-(x**2) / (2.0 * sigma**2))
+    return (g / g.sum()).astype(np.float32)
+
+
+def _blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
+    """Separable depthwise 11×11 Gaussian blur, SAME padding. img: (C, H, W)."""
+    C = img.shape[0]
+    x = img[None]  # (1, C, H, W)
+    kh = jnp.tile(window.reshape(1, 1, _WINDOW_SIZE, 1), (C, 1, 1, 1))
+    kw = jnp.tile(window.reshape(1, 1, 1, _WINDOW_SIZE), (C, 1, 1, 1))
+    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
+    x = jax.lax.conv_general_dilated(
+        x, kh, (1, 1), "SAME", dimension_numbers=dn, feature_group_count=C
+    )
+    x = jax.lax.conv_general_dilated(
+        x, kw, (1, 1), "SAME", dimension_numbers=dn, feature_group_count=C
+    )
+    return x[0]
+
+
+def ssim_map(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
+    """Per-pixel SSIM map for (C, H, W) images in [0,1]."""
+    window = jnp.asarray(_gaussian_window())
+    mu1 = _blur(img1, window)
+    mu2 = _blur(img2, window)
+    mu1_sq = mu1 * mu1
+    mu2_sq = mu2 * mu2
+    mu1_mu2 = mu1 * mu2
+    sigma1_sq = _blur(img1 * img1, window) - mu1_sq
+    sigma2_sq = _blur(img2 * img2, window) - mu2_sq
+    sigma12 = _blur(img1 * img2, window) - mu1_mu2
+    return ((2.0 * mu1_mu2 + C1) * (2.0 * sigma12 + C2)) / (
+        (mu1_sq + mu2_sq + C1) * (sigma1_sq + sigma2_sq + C2)
+    )
+
+
+def ssim(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:
+    """Mean SSIM (both the training `fused_ssim` and eval `ssim` reduce to .mean())."""
+    return jnp.mean(ssim_map(img1, img2))
+
+
+def training_loss(
+    rendered: jnp.ndarray, gt: jnp.ndarray, lambda_dssim: float = 0.2
+) -> jnp.ndarray:
+    """(1−λ)·L1 + λ·(1−SSIM)  (gaussian.cpp:685-691)."""
+    return (1.0 - lambda_dssim) * l1_loss(rendered, gt) + lambda_dssim * (
+        1.0 - ssim(rendered, gt)
+    )

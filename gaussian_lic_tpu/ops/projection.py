@@ -1,0 +1,204 @@
+"""Per-Gaussian geometry: projection, 3D covariance, EWA 2D covariance, conic, radius.
+
+Vectorized pure-jnp parity with the preprocess stage of the CUDA rasterizer
+(forward.cu:232-319 and helpers forward.cu:79-149, auxiliary.h:41-56,149-171):
+
+  * frustum cull at p_view.z > 0.2            (in_frustum, auxiliary.h:160)
+  * p_w = 1 / (p_hom.w + 1e-7)                (forward.cu:280)
+  * cov3D = R diag(s²) Rᵀ from normalized quat (computeCov3D, forward.cu:120-149)
+  * EWA cov2D with frustum-clamped Jacobian + 0.3 dilation (computeCov2D,
+    forward.cu:79-118; lims from camera.h:63-66)
+  * conic = inverse 2×2; radius = ceil(3·√λ₁), λ₁ = mid + √max(0.1, mid²−det)
+    (forward.cu:287-298)
+  * pix = ndc2Pix(ndc) = ((ndc+1)·S − 1)/2    (auxiliary.h:41-44)
+
+Everything is differentiable jnp; JAX AD supplies the analytic backward that
+backward.cu:138-310 hand-writes (cov2D→cov3D→scale/rot, projection→mean), including
+the clamp-masked gradients via jnp.clip/jnp.where.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from gaussian_lic_tpu.camera import Camera
+
+FRUSTUM_NEAR = 0.2        # auxiliary.h:160
+COV2D_DILATION = 0.3      # forward.cu:115-116
+OPACITY_THRESHOLD = 1.0 / 255.0  # forward.h OPACITY_THRESHOLD
+
+
+def quat_to_rotmat(q: jnp.ndarray) -> jnp.ndarray:
+    """Normalized quaternion (w,x,y,z) → rotation matrix (...,3,3).
+
+    Standard Hamilton convention; matches computeCov3D's R (forward.cu:133-137,
+    accounting for glm's column-major constructor storing the transpose).
+    """
+    q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
+    r, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    R = jnp.stack(
+        [
+            1.0 - 2.0 * (y * y + z * z), 2.0 * (x * y - r * z), 2.0 * (x * z + r * y),
+            2.0 * (x * y + r * z), 1.0 - 2.0 * (x * x + z * z), 2.0 * (y * z - r * x),
+            2.0 * (x * z - r * y), 2.0 * (y * z + r * x), 1.0 - 2.0 * (x * x + y * y),
+        ],
+        axis=-1,
+    )
+    return R.reshape(q.shape[:-1] + (3, 3))
+
+
+def build_cov3d(scale: jnp.ndarray, quat: jnp.ndarray) -> jnp.ndarray:
+    """Σ = R diag(s²) Rᵀ, returned as full (...,3,3) (computeCov3D, forward.cu:120-149).
+
+    `scale` is the *activated* (exp'd) scale, `quat` need not be pre-normalized.
+    """
+    R = quat_to_rotmat(quat)
+    RS = R * scale[..., None, :]  # R @ diag(s)
+    return RS @ jnp.swapaxes(RS, -1, -2)
+
+
+class ProjectionResult(NamedTuple):
+    """Per-Gaussian screen-space quantities. All (P,...) float32 unless noted."""
+
+    in_front: jnp.ndarray   # (P,) bool — passed near-plane cull
+    depth: jnp.ndarray      # (P,) view-space z
+    xy: jnp.ndarray         # (P,2) pixel-space mean
+    cov2d: jnp.ndarray      # (P,3) packed (a, b, c) of [[a,b],[b,c]], dilated
+    conic: jnp.ndarray      # (P,3) packed inverse (A, B, C)
+    radius: jnp.ndarray     # (P,) float radius in pixels (ceil'd), 0 where culled
+    det_valid: jnp.ndarray  # (P,) bool — 2D covariance invertible
+
+
+def project_gaussians(
+    xyz: jnp.ndarray,        # (P,3) world means
+    scale: jnp.ndarray,      # (P,3) activated scales
+    quat: jnp.ndarray,       # (P,4) rotations (normalized inside)
+    camera: Camera,
+) -> ProjectionResult:
+    """Vectorized preprocess geometry (forward.cu:232-305, minus SH/culling counts)."""
+    intr = camera.intr
+    R_cw = camera.pose.R_cw
+    t_cw = camera.pose.t_cw
+
+    # world → view (transformPoint4x3 semantics)
+    p_view = xyz @ R_cw.T + t_cw
+    depth = p_view[..., 2]
+    in_front = depth > FRUSTUM_NEAR
+
+    # world → clip → ndc → pixels (forward.cu:278-281, auxiliary.h:41)
+    ph = xyz @ camera.full_proj[:3, :3].T + camera.full_proj[:3, 3]
+    pw = xyz @ camera.full_proj[3, :3].T + camera.full_proj[3, 3]
+    inv_w = 1.0 / (pw + 1e-7)
+    ndc_xy = ph[..., :2] * inv_w[..., None]
+    W = jnp.float32(intr.width)
+    H = jnp.float32(intr.height)
+    xy = jnp.stack(
+        [
+            ((ndc_xy[..., 0] + 1.0) * W - 1.0) * 0.5,
+            ((ndc_xy[..., 1] + 1.0) * H - 1.0) * 0.5,
+        ],
+        axis=-1,
+    )
+
+    # EWA: clamp the Jacobian evaluation point (forward.cu:91-94)
+    tz = jnp.where(jnp.abs(depth) > 1e-8, depth, 1e-8)
+    tx = jnp.clip(p_view[..., 0] / tz, intr.limx_neg, intr.limx_pos) * tz
+    ty = jnp.clip(p_view[..., 1] / tz, intr.limy_neg, intr.limy_pos) * tz
+
+    # J = [[fx/tz, 0, −fx·tx/tz²], [0, fy/tz, −fy·ty/tz²]]  (forward.cu:96-99)
+    fx = jnp.float32(intr.fx)
+    fy = jnp.float32(intr.fy)
+    inv_tz = 1.0 / tz
+    inv_tz2 = inv_tz * inv_tz
+    # M = J @ R_cw : (P, 2, 3)
+    J00 = fx * inv_tz
+    J11 = fy * inv_tz
+    J02 = -fx * tx * inv_tz2
+    J12 = -fy * ty * inv_tz2
+    # rows of J @ R_cw
+    M0 = J00[..., None] * R_cw[0] + J02[..., None] * R_cw[2]  # (P,3)
+    M1 = J11[..., None] * R_cw[1] + J12[..., None] * R_cw[2]  # (P,3)
+
+    Sigma = build_cov3d(scale, quat)  # (P,3,3)
+    S_M0 = jnp.einsum("pij,pj->pi", Sigma, M0)
+    a = jnp.einsum("pi,pi->p", M0, S_M0) + COV2D_DILATION
+    b = jnp.einsum("pi,pi->p", M1, S_M0)
+    c = jnp.einsum("pi,pi->p", M1, jnp.einsum("pij,pj->pi", Sigma, M1)) + COV2D_DILATION
+    cov2d = jnp.stack([a, b, c], axis=-1)
+
+    det = a * c - b * b
+    det_valid = det != 0.0  # forward.cu:288
+    safe_det = jnp.where(det_valid, det, 1.0)
+    inv_det = 1.0 / safe_det
+    conic = jnp.stack([c * inv_det, -b * inv_det, a * inv_det], axis=-1)
+
+    # radius (forward.cu:296-298)
+    mid = 0.5 * (a + c)
+    lambda1 = mid + jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    radius = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 0.0)))
+    radius = jnp.where(in_front & det_valid, radius, 0.0)
+
+    return ProjectionResult(
+        in_front=in_front,
+        depth=depth,
+        xy=xy,
+        cov2d=cov2d,
+        conic=conic,
+        radius=radius,
+        det_valid=det_valid,
+    )
+
+
+def max_contrib_power_rect(
+    conic: jnp.ndarray,    # (..., 3) packed (A, B, C)
+    xy: jnp.ndarray,       # (..., 2) Gaussian pixel center
+    rect_min: jnp.ndarray, # (..., 2) tile pixel min (inclusive)
+    rect_max: jnp.ndarray, # (..., 2) tile pixel max (inclusive)
+) -> jnp.ndarray:
+    """StopThePop exact tile culling: the minimum of the Gaussian power
+    q(d) = 0.5(A dx² + C dy²) + B dx dy over a pixel rect.
+
+    Parity with max_contrib_power_rect_gaussian_float (forward.h:39-80): a tile
+    contributes iff this min-power ≤ log(opacity/THRESHOLD). Returns 0 when the
+    center lies inside the rect.
+    """
+    A = conic[..., 0]
+    B = conic[..., 1]
+    C = conic[..., 2]
+    mx = xy[..., 0]
+    my = xy[..., 1]
+    x_min_diff = rect_min[..., 0] - mx
+    y_min_diff = rect_min[..., 1] - my
+    x_left = (x_min_diff > 0.0).astype(jnp.float32)
+    y_above = (y_min_diff > 0.0).astype(jnp.float32)
+    not_in_x = x_left + (mx > rect_max[..., 0]).astype(jnp.float32)
+    not_in_y = y_above + (my > rect_max[..., 1]).astype(jnp.float32)
+
+    size_x = rect_max[..., 0] - rect_min[..., 0]
+    size_y = rect_max[..., 1] - rect_min[..., 1]
+
+    px = x_left * rect_min[..., 0] + (1.0 - x_left) * rect_max[..., 0]
+    py = y_above * rect_min[..., 1] + (1.0 - y_above) * rect_max[..., 1]
+
+    dx = jnp.where(x_min_diff >= 0, size_x, -size_x)  # copysign(size, diff)
+    dy = jnp.where(y_min_diff >= 0, size_y, -size_y)
+
+    diffx = mx - px
+    diffy = my - py
+
+    eps = 1e-12
+    rcp_dxdxA = 1.0 / (size_x * size_x * A + eps)
+    rcp_dydyC = 1.0 / (size_y * size_y * C + eps)
+
+    tx = not_in_y * jnp.clip((dx * A * diffx + dx * B * diffy) * rcp_dxdxA, 0.0, 1.0)
+    ty = not_in_x * jnp.clip((dy * B * diffx + dy * C * diffy) * rcp_dydyC, 0.0, 1.0)
+    qx = px + tx * dx
+    qy = py + ty * dy
+
+    ddx = mx - qx
+    ddy = my - qy
+    power = 0.5 * (A * ddx * ddx + C * ddy * ddy) + B * ddx * ddy
+    outside = (not_in_x + not_in_y) > 0.0
+    return jnp.where(outside, power, 0.0)
