@@ -1,0 +1,260 @@
+"""Differentiable tiled rasterizer: the public render() API.
+
+The TPU counterpart of the reference render stack (renderer.cpp:21-88 →
+GaussianRasterizerFunction (rasterizer.cpp:21-183) → CudaRasterizer forward/backward).
+Composition (DESIGN.md §2):
+
+  jnp preprocess (projection/EWA/SH — differentiated by JAX AD, replacing the
+      hand-written backward.cu:138-376)
+  → tile binning under stop_gradient (ops.tiles — sort-based, fixed budgets)
+  → custom_vjp Pallas blend (ops.blend_pallas), whose backward produces per-entry
+      gradients that are reduced per-Gaussian by an inverse-permutation gather +
+      reshape-sum (atomic-free equivalent of backward.cu:585-595).
+
+Unlike the reference, `use_trained_exposure` actually works: the reference accepts
+the flag but never applies the exposure transform (renderer.cpp:25; SURVEY.md C22).
+Here `apply_exposure=True` maps the rendered image through exposure[:, :3] @ rgb +
+exposure[:, 3:].
+
+Background color parity note: renderCUDA never composites bg (forward.cu:460-468
+writes the accumulated color only), so neither do we; `bg` is accepted for API
+compatibility and ignored, matching observable reference behavior.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussian_lic_tpu.camera import Camera
+from gaussian_lic_tpu.ops import sh as sh_ops
+from gaussian_lic_tpu.ops import tiles as tiles_ops
+from gaussian_lic_tpu.ops.blend_pallas import (
+    CHUNK,
+    ROW_A,
+    ROW_B,
+    ROW_B2,
+    ROW_C,
+    ROW_G,
+    ROW_OPA,
+    ROW_R,
+    ROW_X,
+    ROW_Y,
+    SPLAT_ROWS,
+    blend_backward,
+    blend_forward,
+)
+from gaussian_lic_tpu.ops.projection import OPACITY_THRESHOLD, project_gaussians
+from gaussian_lic_tpu.ops.rasterize_ref import RenderOutput
+
+
+class TiledRenderOutput(NamedTuple):
+    image: jnp.ndarray      # (3, H, W)
+    final_T: jnp.ndarray    # (H, W)
+    n_contrib: jnp.ndarray  # (H, W) int32
+    visible: jnp.ndarray    # (P,) bool — radii > 0
+    radii: jnp.ndarray      # (P,)
+    overflow: jnp.ndarray   # () int32 — binning slots lost (monitoring)
+
+
+def _pack_rows(xy, conic, opacity, rgb):
+    P = xy.shape[0]
+    rows = jnp.zeros((P, SPLAT_ROWS), jnp.float32)
+    rows = rows.at[:, ROW_X].set(xy[:, 0])
+    rows = rows.at[:, ROW_Y].set(xy[:, 1])
+    rows = rows.at[:, ROW_A].set(conic[:, 0])
+    rows = rows.at[:, ROW_B].set(conic[:, 1])
+    rows = rows.at[:, ROW_C].set(conic[:, 2])
+    rows = rows.at[:, ROW_OPA].set(opacity)
+    rows = rows.at[:, ROW_R].set(rgb[:, 0])
+    rows = rows.at[:, ROW_G].set(rgb[:, 1])
+    rows = rows.at[:, ROW_B2].set(rgb[:, 2])
+    return rows
+
+
+@functools.lru_cache(maxsize=32)
+def _make_blend(n_tx: int, n_ty: int, tile_h: int, tile_w: int, max_total_splats: int):
+    """custom_vjp blend closed over the static tile-grid configuration."""
+    M = max_total_splats
+
+    def _fwd_impl(xy, conic, opacity, rgb, sorted_gauss, tile_starts, tile_lens):
+        rows = _pack_rows(xy, conic, opacity, rgb)
+        splats = jnp.take(rows, sorted_gauss, axis=0, mode="clip")
+        splats = jnp.concatenate(
+            [splats, jnp.zeros((CHUNK, SPLAT_ROWS), jnp.float32)], axis=0
+        )
+        color, final_t, n_contrib = blend_forward(
+            splats, tile_starts, tile_lens,
+            n_tx=n_tx, n_ty=n_ty, tile_h=tile_h, tile_w=tile_w,
+        )
+        return color, final_t, n_contrib, splats
+
+    @jax.custom_vjp
+    def blend(xy, conic, opacity, rgb, sorted_gauss, tile_starts, tile_lens, inv_pos):
+        color, final_t, n_contrib, _ = _fwd_impl(
+            xy, conic, opacity, rgb, sorted_gauss, tile_starts, tile_lens
+        )
+        return color, final_t, n_contrib
+
+    def blend_fwd(xy, conic, opacity, rgb, sorted_gauss, tile_starts, tile_lens, inv_pos):
+        color, final_t, n_contrib, splats = _fwd_impl(
+            xy, conic, opacity, rgb, sorted_gauss, tile_starts, tile_lens
+        )
+        res = (splats, tile_starts, tile_lens, final_t, n_contrib, inv_pos)
+        return (color, final_t, n_contrib), res
+
+    def blend_bwd(res, cotangents):
+        splats, tile_starts, tile_lens, final_t, n_contrib, inv_pos = res
+        d_color, _d_final_t, _d_ncontrib = cotangents
+        # The reference backward likewise consumes only the image gradient
+        # (PerGaussianRenderCUDA reads dL_dpixels only, backward.cu:529-536).
+        entry_grads = blend_backward(
+            splats, tile_starts, tile_lens,
+            d_color, final_t, n_contrib,
+            n_tx=n_tx, n_ty=n_ty, tile_h=tile_h, tile_w=tile_w,
+        )
+        P, K = inv_pos.shape
+        slot_grads = jnp.take(
+            entry_grads[:M], inv_pos.reshape(-1), axis=0,
+            mode="fill", fill_value=0.0,
+        ).reshape(P, K, SPLAT_ROWS)
+        g = jnp.sum(slot_grads, axis=1)  # (P, SPLAT_ROWS)
+        d_xy = jnp.stack([g[:, ROW_X], g[:, ROW_Y]], axis=1)
+        d_conic = jnp.stack([g[:, ROW_A], g[:, ROW_B], g[:, ROW_C]], axis=1)
+        d_opa = g[:, ROW_OPA]
+        d_rgb = jnp.stack([g[:, ROW_R], g[:, ROW_G], g[:, ROW_B2]], axis=1)
+
+        def int_zero(x):
+            return np.zeros(x.shape, jax.dtypes.float0)
+
+        return (
+            d_xy, d_conic, d_opa, d_rgb,
+            int_zero(jnp.zeros(M, jnp.int32)),
+            int_zero(tile_starts),
+            int_zero(tile_lens),
+            int_zero(inv_pos),
+        )
+
+    blend.defvjp(blend_fwd, blend_bwd)
+    return blend
+
+
+def render_tiled(
+    xyz: jnp.ndarray,         # (P,3)
+    scale: jnp.ndarray,       # (P,3) activated
+    quat: jnp.ndarray,        # (P,4)
+    opacity: jnp.ndarray,     # (P,) activated
+    camera: Camera,
+    dc: Optional[jnp.ndarray] = None,
+    sh_rest: Optional[jnp.ndarray] = None,
+    sh_degree: int = 3,
+    colors: Optional[jnp.ndarray] = None,
+    active: Optional[jnp.ndarray] = None,    # (P,) bool, e.g. index < count
+    exposure: Optional[jnp.ndarray] = None,  # (3,4); applied when apply_exposure
+    apply_exposure: bool = False,
+    no_color: bool = False,
+    bg: Optional[jnp.ndarray] = None,        # accepted, ignored (parity)
+    tile_h: int = 8,
+    tile_w: int = 128,
+    max_tiles_per_gaussian: int = 16,
+    max_total_splats: int = 1 << 21,
+) -> TiledRenderOutput:
+    """Full differentiable render. Matches reference `render` outputs
+    (renderer.cpp:81-87): image, final_T, (screenspace grads are implicit in JAX),
+    visible, radii."""
+    del bg
+    intr = camera.intr
+    grid = tiles_ops.TileGrid(
+        width=intr.width, height=intr.height, tile_w=tile_w, tile_h=tile_h
+    )
+
+    proj = project_gaussians(xyz, scale, quat, camera)
+    base_active = proj.in_front & proj.det_valid & (opacity >= OPACITY_THRESHOLD)
+    if active is not None:
+        base_active = base_active & active
+    radius = jnp.where(base_active, proj.radius, 0.0)
+    visible = radius > 0.0
+
+    if no_color:
+        rgb = jnp.zeros((xyz.shape[0], 3), jnp.float32)
+    elif colors is not None:
+        rgb = colors
+    else:
+        dirs = xyz - camera.cam_center
+        rgb = sh_ops.eval_sh_color(sh_degree, dc, sh_rest, dirs)
+
+    sg = jax.lax.stop_gradient
+    binning = tiles_ops.bin_gaussians(
+        sg(proj.xy), sg(proj.depth), sg(proj.conic), sg(opacity), sg(radius),
+        base_active, grid,
+        max_tiles_per_gaussian=max_tiles_per_gaussian,
+        max_total_splats=max_total_splats,
+    )
+
+    if no_color:
+        # alpha-only pass (extend(), gaussian.cpp:505-507) — no gradients needed
+        rows = _pack_rows(sg(proj.xy), sg(proj.conic), sg(opacity), rgb)
+        splats = jnp.take(rows, binning.sorted_gauss, axis=0, mode="clip")
+        splats = jnp.concatenate(
+            [splats, jnp.zeros((CHUNK, SPLAT_ROWS), jnp.float32)], axis=0
+        )
+        color_p, final_t_p, ncontrib_p = blend_forward(
+            splats, binning.tile_starts, binning.tile_lens,
+            n_tx=grid.n_tx, n_ty=grid.n_ty, tile_h=tile_h, tile_w=tile_w,
+            no_color=True,
+        )
+    else:
+        blend = _make_blend(grid.n_tx, grid.n_ty, tile_h, tile_w, max_total_splats)
+        color_p, final_t_p, ncontrib_p = blend(
+            proj.xy, proj.conic, opacity, rgb,
+            binning.sorted_gauss, binning.tile_starts, binning.tile_lens,
+            binning.inv_pos,
+        )
+
+    H, W = intr.height, intr.width
+    image = color_p[:, :H, :W]
+    final_t = final_t_p[:H, :W]
+    n_contrib = ncontrib_p[:H, :W]
+
+    if apply_exposure and exposure is not None:
+        flat = image.reshape(3, -1)
+        image = (exposure[:, :3] @ flat + exposure[:, 3:]).reshape(3, H, W)
+
+    return TiledRenderOutput(
+        image=image,
+        final_T=final_t,
+        n_contrib=n_contrib,
+        visible=visible,
+        radii=radius,
+        overflow=binning.overflow,
+    )
+
+
+def render_map(
+    gm,
+    camera: Camera,
+    *,
+    apply_exposure: bool = False,
+    no_color: bool = False,
+    **kw,
+) -> TiledRenderOutput:
+    """Render a GaussianMap (activations + active-count mask applied)."""
+    return render_tiled(
+        gm.xyz,
+        gm.scaling,
+        gm.rotation,
+        gm.opacity,
+        camera,
+        dc=gm.dc,
+        sh_rest=gm.sh_rest,
+        sh_degree=gm.sh_degree,
+        active=gm.active_mask(),
+        exposure=gm.exposure,
+        apply_exposure=apply_exposure,
+        no_color=no_color,
+        **kw,
+    )

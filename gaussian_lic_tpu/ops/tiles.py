@@ -1,0 +1,204 @@
+"""Tile binning: sorted splat-list construction for the tiled rasterizer.
+
+TPU-native replacement for the CUDA pipeline duplicateWithKeys → cub radix sort →
+identifyTileRanges (rasterizer_impl.cu:59-218, 395-429). Design (DESIGN.md §2):
+
+  * Every Gaussian owns K static tile-slots (`max_tiles_per_gaussian`). Slot k maps
+    to the k-th tile of the Gaussian's bounding rect in row-major order; slots beyond
+    the rect — or failing StopThePop exact per-tile culling (forward.cu:151-230) —
+    are dead. Rects larger than K tiles are truncated (counted in `overflow`).
+  * Keys pack (tile_id << RANK_BITS) | depth_rank into uint32; dead slots get
+    0xFFFFFFFF and sort to the end. One `lax.sort` over all P·K slots replaces the
+    radix sort; there is no scatter and no host round-trip (the reference's two
+    hidden D2H syncs, rasterizer_impl.cu:398,442, disappear — the splat list has a
+    static budget `max_total_splats`).
+  * Per-tile [start, len) ranges come from `searchsorted` over the sorted tile ids.
+  * A second sort yields the inverse permutation slot → sorted position, which the
+    backward pass uses to turn per-entry gradients into per-Gaussian sums with a
+    dense reshape — no atomics (vs backward.cu:585-595) and no scatter-add.
+
+Everything here is non-differentiable bookkeeping; callers wrap it in stop_gradient.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gaussian_lic_tpu.ops.projection import OPACITY_THRESHOLD, max_contrib_power_rect
+
+RANK_BITS = 20               # depth ranks per shard: up to 2^20 Gaussians
+MAX_TILE_ID = (1 << (32 - RANK_BITS)) - 1  # 4095
+INVALID_KEY = jnp.uint32(0xFFFFFFFF)
+
+
+class TileGrid(NamedTuple):
+    """Static description of the image's tile decomposition."""
+
+    width: int
+    height: int
+    tile_w: int
+    tile_h: int
+
+    @property
+    def n_tx(self) -> int:
+        return -(-self.width // self.tile_w)
+
+    @property
+    def n_ty(self) -> int:
+        return -(-self.height // self.tile_h)
+
+    @property
+    def num_tiles(self) -> int:
+        return self.n_tx * self.n_ty
+
+    @property
+    def padded_width(self) -> int:
+        return self.n_tx * self.tile_w
+
+    @property
+    def padded_height(self) -> int:
+        return self.n_ty * self.tile_h
+
+
+class Binning(NamedTuple):
+    sorted_gauss: jnp.ndarray   # (M,) int32 — Gaussian id per sorted entry
+    sorted_slot: jnp.ndarray    # (M,) int32 — flat slot id (g·K + k) per entry
+    tile_starts: jnp.ndarray    # (T,) int32 — entry offset of each tile's range
+    tile_lens: jnp.ndarray      # (T,) int32
+    inv_pos: jnp.ndarray        # (P, K) int32 — sorted position of each slot (M if dead)
+    num_valid: jnp.ndarray      # () int32 — live entries (pre-budget-truncation)
+    overflow: jnp.ndarray      # () int32 — slots lost to rect truncation or budget
+    tiles_touched: jnp.ndarray  # (P,) int32 — live tiles per Gaussian (exact culled)
+
+
+def gaussian_rects(
+    xy: jnp.ndarray,       # (P,2) pixel means
+    radius: jnp.ndarray,   # (P,) pixel radius (0 = culled)
+    grid: TileGrid,
+):
+    """Tile-space bounding rects (getRect, auxiliary.h:46-56): min inclusive,
+    max exclusive, both clamped to the grid."""
+    r = radius
+    x, y = xy[:, 0], xy[:, 1]
+    rect_min_x = jnp.clip(((x - r) / grid.tile_w).astype(jnp.int32), 0, grid.n_tx)
+    rect_min_y = jnp.clip(((y - r) / grid.tile_h).astype(jnp.int32), 0, grid.n_ty)
+    rect_max_x = jnp.clip(
+        ((x + r + grid.tile_w - 1) / grid.tile_w).astype(jnp.int32), 0, grid.n_tx
+    )
+    rect_max_y = jnp.clip(
+        ((y + r + grid.tile_h - 1) / grid.tile_h).astype(jnp.int32), 0, grid.n_ty
+    )
+    return rect_min_x, rect_min_y, rect_max_x, rect_max_y
+
+
+@functools.partial(jax.jit, static_argnames=("grid", "max_tiles_per_gaussian", "max_total_splats"))
+def bin_gaussians(
+    xy: jnp.ndarray,        # (P,2)
+    depth: jnp.ndarray,     # (P,)
+    conic: jnp.ndarray,     # (P,3)
+    opacity: jnp.ndarray,   # (P,)
+    radius: jnp.ndarray,    # (P,) 0 where culled
+    active: jnp.ndarray,    # (P,) bool (in_front & det_valid & opacity & in_count)
+    grid: TileGrid,
+    max_tiles_per_gaussian: int = 16,
+    max_total_splats: int = 1 << 22,
+) -> Binning:
+    P = xy.shape[0]
+    K = max_tiles_per_gaussian
+    M = max_total_splats
+    assert grid.num_tiles <= MAX_TILE_ID, "tile id does not fit the uint32 key"
+    assert P <= (1 << RANK_BITS), "depth rank does not fit the uint32 key"
+
+    live = active & (radius > 0.0)
+
+    # --- depth ranks over live Gaussians (two argsorts of P) ---
+    d = jnp.where(live, depth, jnp.inf)
+    order = jnp.argsort(d)
+    rank = jnp.argsort(order).astype(jnp.uint32)  # rank[g] = position in depth order
+
+    # --- per-slot tiles (row-major over each rect) + exact culling ---
+    rminx, rminy, rmaxx, rmaxy = gaussian_rects(xy, radius, grid)
+    rect_w = rmaxx - rminx
+    rect_h = rmaxy - rminy
+    rect_count = rect_w * rect_h
+
+    k = jnp.arange(K, dtype=jnp.int32)[None, :]           # (1, K)
+    safe_w = jnp.maximum(rect_w, 1)[:, None]
+    tile_dx = k % safe_w                                   # (P, K)
+    tile_dy = k // safe_w
+    tx = rminx[:, None] + tile_dx
+    ty = rminy[:, None] + tile_dy
+    in_rect = (k < rect_count[:, None]) & (k < K)
+
+    # StopThePop exact tile culling: keep a tile only if the max contribution
+    # inside it can reach the opacity threshold (forward.cu:169-170).
+    tile_px_min = jnp.stack(
+        [(tx * grid.tile_w).astype(jnp.float32), (ty * grid.tile_h).astype(jnp.float32)],
+        axis=-1,
+    )
+    tile_px_max = jnp.stack(
+        [((tx + 1) * grid.tile_w - 1).astype(jnp.float32),
+         ((ty + 1) * grid.tile_h - 1).astype(jnp.float32)],
+        axis=-1,
+    )
+    power = max_contrib_power_rect(
+        conic[:, None, :], xy[:, None, :], tile_px_min, tile_px_max
+    )
+    opacity_power_threshold = jnp.log(
+        jnp.maximum(opacity, OPACITY_THRESHOLD) / OPACITY_THRESHOLD
+    )
+    contributes = power <= opacity_power_threshold[:, None]
+
+    slot_valid = live[:, None] & in_rect & contributes     # (P, K)
+    tiles_touched = jnp.sum(slot_valid, axis=1).astype(jnp.int32)
+
+    # --- keys & sort ---
+    tile_id = (ty * grid.n_tx + tx).astype(jnp.uint32)
+    keys = jnp.where(
+        slot_valid,
+        (tile_id << RANK_BITS) | rank[:, None],
+        INVALID_KEY,
+    ).reshape(-1)
+    slot_ids = jnp.arange(P * K, dtype=jnp.int32)
+    sorted_keys, sorted_slots = jax.lax.sort((keys, slot_ids), num_keys=1)
+
+    num_valid = jnp.sum(slot_valid).astype(jnp.int32)
+    truncated = jnp.sum(
+        jnp.where(live, jnp.maximum(rect_count - K, 0), 0)
+    ).astype(jnp.int32)
+    budget_lost = jnp.maximum(num_valid - M, 0)
+    overflow = truncated + budget_lost
+
+    # --- inverse permutation: slot → sorted position (second sort) ---
+    pos_ids = jnp.arange(P * K, dtype=jnp.int32)
+    _, inv_flat = jax.lax.sort((sorted_slots, pos_ids), num_keys=1)
+    # positions beyond the budget (or belonging to dead slots) → sentinel M
+    dead = ~slot_valid.reshape(-1)
+    inv_flat = jnp.where(dead | (inv_flat >= M), M, inv_flat)
+    inv_pos = inv_flat.reshape(P, K)
+
+    # --- budget truncation + per-tile ranges ---
+    sorted_keys = sorted_keys[:M]
+    sorted_slots = sorted_slots[:M]
+    sorted_tiles = (sorted_keys >> RANK_BITS).astype(jnp.int32)
+    boundaries = jnp.arange(grid.num_tiles + 1, dtype=jnp.int32)
+    edges = jnp.searchsorted(sorted_tiles, boundaries, side="left").astype(jnp.int32)
+    tile_starts = edges[:-1]
+    tile_lens = edges[1:] - edges[:-1]
+
+    sorted_gauss = sorted_slots // K
+
+    return Binning(
+        sorted_gauss=sorted_gauss.astype(jnp.int32),
+        sorted_slot=sorted_slots.astype(jnp.int32),
+        tile_starts=tile_starts,
+        tile_lens=tile_lens,
+        inv_pos=inv_pos,
+        num_valid=num_valid,
+        overflow=overflow,
+        tiles_touched=tiles_touched,
+    )
