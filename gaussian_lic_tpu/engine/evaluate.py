@@ -1,0 +1,143 @@
+"""Evaluation harness (reference C19: evaluateVisualQuality, gaussian.cpp:721-831).
+
+Renders every train keyframe and every held-out in-sequence test view, computes
+PSNR / SSIM / LPIPS per split, and dumps render/ and gt/ image pairs. LPIPS uses
+the same torchscript AlexNet-LPIPS artifact the reference loads (lpips_alex.pt via
+lpips_path, gaussian.cpp:740-749); when absent the metric is skipped gracefully
+(the reference would print a load error and crash later — we degrade instead).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gaussian_lic_tpu.camera import make_camera
+from gaussian_lic_tpu.ops import losses
+from gaussian_lic_tpu.ops.rasterize import render_map
+
+
+class LpipsScorer:
+    """Torchscript AlexNet-LPIPS (CPU torch), mirroring gaussian.cpp:740-765."""
+
+    def __init__(self, lpips_path: str):
+        import torch  # CPU-only in this environment
+
+        candidate = lpips_path
+        if os.path.isdir(candidate):
+            candidate = os.path.join(candidate, "lpips_alex.pt")
+        self._torch = torch
+        self.model = torch.jit.load(candidate, map_location="cpu").eval()
+
+    def __call__(self, render: np.ndarray, gt: np.ndarray) -> float:
+        torch = self._torch
+        with torch.no_grad():
+            a = torch.from_numpy(render[None]).float()
+            b = torch.from_numpy(gt[None]).float()
+            return float(self.model(a, b).item())
+
+
+def _save_image_pair(result_path: str, name: str, render: np.ndarray, gt: np.ndarray):
+    try:
+        from PIL import Image
+    except ImportError:
+        return
+    os.makedirs(os.path.join(result_path, "render"), exist_ok=True)
+    os.makedirs(os.path.join(result_path, "gt"), exist_ok=True)
+
+    def to_u8(img):
+        return np.clip(np.transpose(img, (1, 2, 0)) * 255.0, 0, 255).astype(np.uint8)
+
+    Image.fromarray(to_u8(render)).save(os.path.join(result_path, "render", name))
+    Image.fromarray(to_u8(gt)).save(os.path.join(result_path, "gt", name))
+
+
+def evaluate_visual_quality(
+    engine,
+    result_path: Optional[str] = None,
+    lpips_path: Optional[str] = None,
+    save_images: bool = True,
+) -> Dict[str, float]:
+    """Returns {train,test}_{psnr,ssim,lpips} means (gaussian.cpp:784-789,824-829)."""
+    cfg = engine.cfg
+    intr = engine.intr
+    gm = engine.gm
+    results: Dict[str, float] = {}
+
+    lpips = None
+    if lpips_path:
+        try:
+            lpips = LpipsScorer(lpips_path)
+        except Exception as e:  # missing artifact → skip metric, keep evaluating
+            print(f"[eval] LPIPS unavailable ({e}); skipping")
+
+    @jax.jit
+    def _render_train(gm, kf, idx):
+        cam = kf.camera(intr, idx)
+        out = render_map(
+            gm, cam,
+            apply_exposure=cfg.apply_exposure,
+            tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+            max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
+        )
+        return jnp.clip(out.image, 0.0, 1.0)
+
+    def run_split(cameras, names, images, render_fn):
+        psnrs, ssims, lpipss = [], [], []
+        for i, name in enumerate(names):
+            rendered = np.asarray(render_fn(i))
+            gt = images[i].astype(np.float32) / 255.0
+            gt = np.transpose(gt, (2, 0, 1)) if gt.ndim == 3 and gt.shape[-1] == 3 else gt
+            gt = np.clip(gt, 0.0, 1.0)
+            psnrs.append(float(losses.psnr(jnp.asarray(rendered), jnp.asarray(gt))))
+            ssims.append(float(losses.ssim(jnp.asarray(rendered), jnp.asarray(gt))))
+            if lpips is not None:
+                lpipss.append(lpips(rendered, gt))
+            if save_images and result_path:
+                _save_image_pair(result_path, f"{name}.jpg".replace(".jpg", ".png"), rendered, gt)
+        out = {}
+        if psnrs:
+            out["psnr"] = float(np.mean(psnrs))
+            out["ssim"] = float(np.mean(ssims))
+            if lpipss:
+                out["lpips"] = float(np.mean(lpipss))
+        return out
+
+    # train split (device keyframe buffer)
+    train_names = engine._kf_names
+    train_imgs = [
+        np.transpose(np.asarray(engine.kf_buffer.images[i]), (1, 2, 0))
+        for i in range(engine.kf_count)
+    ]
+    tr = run_split(
+        None, train_names, train_imgs,
+        lambda i: _render_train(gm, engine.kf_buffer, jnp.asarray(i, jnp.int32)),
+    )
+    for k, v in tr.items():
+        results[f"train_{k}"] = v
+
+    # test split (host cameras)
+    def render_test(i):
+        tc = engine.test_cameras[i]
+        cam = make_camera(intr, tc.R_wc, tc.t_wc)
+        out = render_map(
+            gm, cam,
+            apply_exposure=cfg.apply_exposure,
+            tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+            max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
+        )
+        return jnp.clip(out.image, 0.0, 1.0)
+
+    te = run_split(
+        None,
+        [tc.name for tc in engine.test_cameras],
+        [tc.image_u8 for tc in engine.test_cameras],
+        render_test,
+    )
+    for k, v in te.items():
+        results[f"test_{k}"] = v
+    return results

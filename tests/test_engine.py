@@ -1,0 +1,124 @@
+"""End-to-end streaming engine test: synthetic sequence → incremental map →
+quality improves → eval + PLY export (the reference's de-facto acceptance test,
+SURVEY.md §4, scaled down to CPU size)."""
+
+import numpy as np
+import jax.numpy as jnp
+import pytest
+
+from gaussian_lic_tpu.config import Params
+from gaussian_lic_tpu.engine.trainer import MappingEngine
+from gaussian_lic_tpu.ops import losses
+from gaussian_lic_tpu.ops.rasterize import render_map
+from gaussian_lic_tpu.utils.synthetic import make_sequence, make_world
+
+
+@pytest.fixture(scope="module")
+def tiny_cfg():
+    return Params(
+        width=128, height=64, fx=60.0, fy=60.0, cx=64.0, cy=32.0,
+        select_every_k_frame=5,
+        skybox_points_num=0,
+        initial_capacity=2048,
+        densify_budget=512,
+        max_train_keyframes=16,
+        max_iters_per_keyframe=12,
+        max_tiles_per_gaussian=16,
+    )
+
+
+@pytest.fixture(scope="module")
+def ran_engine(tiny_cfg, tmp_path_factory):
+    rng = np.random.default_rng(3)
+    world = make_world(rng, n_points=300)
+    frames = make_sequence(world, n_frames=15, points_per_frame=100, rng=rng)
+    eng = MappingEngine(tiny_cfg, result_path=str(tmp_path_factory.mktemp("res")))
+    psnr_after_first_kf = None
+    for i, f in enumerate(frames):
+        was_kf = eng.add_frame(f)
+        if was_kf and psnr_after_first_kf is None:
+            out = render_map(eng.gm, eng.train_camera(0), max_total_splats=1 << 14)
+            gt = np.asarray(eng.kf_buffer.images[0], np.float32) / 255.0
+            psnr_after_first_kf = float(
+                losses.psnr(jnp.clip(out.image, 0, 1), jnp.asarray(gt))
+            )
+    return eng, world, psnr_after_first_kf
+
+
+class TestStreamingEngine:
+    def test_keyframe_cadence(self, ran_engine):
+        eng, _, _ = ran_engine
+        assert eng.all_frame_num == 15
+        assert eng.kf_count == 3          # frames 4, 9, 14
+        assert len(eng.test_cameras) == 12
+
+    def test_map_initialized_and_grown(self, ran_engine):
+        eng, _, _ = ran_engine
+        assert eng.initialized
+        assert int(eng.gm.count) > 0
+        # densification added something over the later keyframes
+        assert int(eng.gm.count) >= 100
+
+    def test_quality_improves_with_training(self, ran_engine):
+        eng, world, psnr_first = ran_engine
+        out = render_map(eng.gm, eng.train_camera(0), max_total_splats=1 << 14)
+        gt = np.asarray(eng.kf_buffer.images[0], np.float32) / 255.0
+        psnr_final = float(
+            losses.psnr(jnp.clip(out.image, 0, 1), jnp.asarray(gt))
+        )
+        # training over 3 keyframes must not degrade the first view, and the fit
+        # should be a sensible reconstruction
+        assert psnr_final > 14.0
+        assert psnr_final >= psnr_first - 1.0
+
+    def test_finalize_eval_and_ply(self, ran_engine):
+        eng, _, _ = ran_engine
+        results = eng.finalize()
+        assert results["train_psnr"] > 14.0
+        assert "test_psnr" in results
+        assert 0.0 < results["train_ssim"] <= 1.0
+        assert results["num_gaussians"] == float(int(eng.gm.count))
+        import os
+
+        assert os.path.exists(f"{eng.result_path}/point_cloud.ply")
+        assert os.path.exists(f"{eng.result_path}/render")
+
+    def test_timers_populated(self, ran_engine):
+        eng, _, _ = ran_engine
+        assert eng.timers.total_mapping > 0
+        assert eng.timers.adding > 0
+        assert eng.timers.extending > 0
+
+
+class TestDensification:
+    def test_extend_respects_alpha_mask(self, tiny_cfg):
+        """Points landing on already-opaque pixels must not be added
+        (gaussian.cpp:599)."""
+        rng = np.random.default_rng(7)
+        world = make_world(rng, n_points=200)
+        frames = make_sequence(world, n_frames=10, points_per_frame=80, rng=rng)
+        eng = MappingEngine(tiny_cfg)
+        for f in frames[:5]:
+            eng.add_frame(f)
+        n_before = int(eng.gm.count)
+        # feed the SAME points again for the second keyframe: most will project
+        # onto pixels the map already covers, so few should be appended
+        for f in frames[5:10]:
+            eng.add_frame(f)
+        n_added = int(eng.gm.count) - n_before
+        assert n_added < 500  # dedup+alpha filter keeps it bounded
+
+    def test_capacity_growth(self):
+        cfg = Params(
+            width=128, height=64, fx=60.0, fy=60.0, cx=64.0, cy=32.0,
+            skybox_points_num=0, initial_capacity=128, densify_budget=256,
+            max_train_keyframes=8, max_iters_per_keyframe=2,
+        )
+        rng = np.random.default_rng(11)
+        world = make_world(rng, n_points=300)
+        frames = make_sequence(world, n_frames=10, points_per_frame=120, rng=rng)
+        eng = MappingEngine(cfg)
+        for f in frames:
+            eng.add_frame(f)
+        assert eng.gm.capacity >= 256  # grew beyond the initial 128
+        assert int(eng.gm.count) <= eng.gm.capacity
