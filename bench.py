@@ -1,0 +1,105 @@
+"""Headline benchmark: training iters/sec at 1M Gaussians, 640x512 (fastlivo rig).
+
+North star (BASELINE.json): >=30 train iters/sec per keyframe at 1M Gaussians.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+The measured step is the full production train step (engine.trainer._make_train_step):
+tiled Pallas rasterizer forward -> 0.8*L1 + 0.2*(1-SSIM) -> custom-VJP backward ->
+visibility-masked sparse Adam on all six parameter groups.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import numpy as np
+
+
+def build_bench_state(n_gauss: int, cfg, intr, n_kf: int = 4, seed: int = 0):
+    """1M-Gaussian map filling the camera frustum + n_kf synthetic keyframes."""
+    import jax.numpy as jnp
+
+    from gaussian_lic_tpu.camera import look_at
+    from gaussian_lic_tpu.engine.dataset import KeyframeBuffer, build_camera, FrameInput
+    from gaussian_lic_tpu.models.gaussians import initialize_map
+
+    rng = np.random.default_rng(seed)
+    # points in a frustum-shaped box in front of the origin-facing trajectory
+    z = rng.uniform(1.0, 30.0, n_gauss).astype(np.float32)
+    x = rng.uniform(-0.7, 0.7, n_gauss).astype(np.float32) * z
+    y = rng.uniform(-0.55, 0.55, n_gauss).astype(np.float32) * z
+    pts = np.stack([x, y, z], axis=1)
+    cols = rng.uniform(0.05, 0.95, (n_gauss, 3)).astype(np.float32)
+
+    gm = initialize_map(
+        pts, cols, z,
+        focal=(cfg.fx + cfg.fy) / 2.0, scaling_scale=cfg.scaling_scale,
+        sh_degree=cfg.sh_degree, capacity=max(cfg.initial_capacity, n_gauss),
+    )
+
+    kf = KeyframeBuffer.empty(n_kf, intr)
+    for i in range(n_kf):
+        eye = np.array([0.3 * np.sin(i), 0.2 * np.cos(i), -1.0 - 0.1 * i])
+        R_wc, t_wc = look_at(eye, np.array([0.0, 0.0, 10.0]), up=(0.0, -1.0, 0.0))
+        frame = FrameInput(
+            timestamp=float(i),
+            R_wc=R_wc, t_wc=t_wc,
+            image=rng.integers(0, 255, (intr.height, intr.width, 3), dtype=np.uint8),
+            points=np.zeros((0, 3), np.float32),
+            colors=np.zeros((0, 3), np.float32),
+        )
+        kf = kf.set_frame(i, build_camera(intr, frame), frame.image_u8())
+    return gm, kf
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from gaussian_lic_tpu.camera import Intrinsics
+    from gaussian_lic_tpu.config import load_params
+    from gaussian_lic_tpu.engine.trainer import PARAM_GROUPS, _make_train_step
+    from gaussian_lic_tpu.ops import adam as adam_ops
+
+    n_gauss = 1 << 20  # 1M (RANK_BITS budget: exactly representable)
+    cfg = load_params(preset="fastlivo", initial_capacity=n_gauss,
+                      skybox_points_num=0)
+    intr = Intrinsics(width=cfg.width, height=cfg.height,
+                      fx=cfg.fx, fy=cfg.fy, cx=cfg.cx, cy=cfg.cy)
+
+    gm, kf = build_bench_state(n_gauss, cfg, intr)
+    opt = {
+        name: adam_ops.AdamState(
+            jnp.zeros_like(gm.trainable()[name]), jnp.zeros_like(gm.trainable()[name])
+        )
+        for name in PARAM_GROUPS
+    }
+    step = _make_train_step(intr, cfg)
+
+    # warmup (compile + first exec)
+    for i in range(3):
+        gm, opt, metrics = step(gm, opt, kf, jnp.asarray(i % 4, jnp.int32),
+                                jnp.asarray(i + 1, jnp.int32))
+    jax.block_until_ready(gm.xyz)
+
+    n_iters = 20
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        gm, opt, metrics = step(gm, opt, kf, jnp.asarray(i % 4, jnp.int32),
+                                jnp.asarray(i + 4, jnp.int32))
+    jax.block_until_ready(gm.xyz)
+    dt = time.perf_counter() - t0
+
+    iters_per_sec = n_iters / dt
+    baseline = 30.0  # BASELINE.json north star
+    print(json.dumps({
+        "metric": "train_iters_per_sec_1M_gaussians_640x512",
+        "value": round(iters_per_sec, 3),
+        "unit": "iters/s",
+        "vs_baseline": round(iters_per_sec / baseline, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -22,23 +22,24 @@ from gaussian_lic_tpu.ops.rasterize import render_map
 
 
 class LpipsScorer:
-    """Torchscript AlexNet-LPIPS (CPU torch), mirroring gaussian.cpp:740-765."""
+    """Pure-JAX AlexNet-LPIPS fed [0,1] images, mirroring gaussian.cpp:740-765.
+    Weights come from the lpips_path artifact (.npz / .pth / torchscript .pt —
+    ops.lpips.load_lpips_params)."""
 
     def __init__(self, lpips_path: str):
-        import torch  # CPU-only in this environment
+        from gaussian_lic_tpu.ops.lpips import load_lpips_params, lpips_distance
 
-        candidate = lpips_path
-        if os.path.isdir(candidate):
-            candidate = os.path.join(candidate, "lpips_alex.pt")
-        self._torch = torch
-        self.model = torch.jit.load(candidate, map_location="cpu").eval()
+        self.params = load_lpips_params(lpips_path)
+        self._distance = lpips_distance
 
     def __call__(self, render: np.ndarray, gt: np.ndarray) -> float:
-        torch = self._torch
-        with torch.no_grad():
-            a = torch.from_numpy(render[None]).float()
-            b = torch.from_numpy(gt[None]).float()
-            return float(self.model(a, b).item())
+        return float(
+            self._distance(
+                self.params,
+                jnp.asarray(render[None], jnp.float32),
+                jnp.asarray(gt[None], jnp.float32),
+            )[0]
+        )
 
 
 def _save_image_pair(result_path: str, name: str, render: np.ndarray, gt: np.ndarray):

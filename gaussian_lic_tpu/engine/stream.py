@@ -81,6 +81,92 @@ class StreamAligner:
         return frame_time, pt.payload, pose.payload, img.payload
 
 
+class NativeStreamAligner:
+    """StreamAligner backed by the C++ runtime (csrc/glic_runtime.cpp) — the
+    native ingest path matching the reference's C++ subscriber queues
+    (mapping.cpp:31-122). Payloads are kept in a Python handle table; the queue
+    discipline, alignment, and drop policy run under the native mutex (usable
+    from producer threads without holding the GIL for queue work)."""
+
+    def __init__(self, tol: float = ALIGN_TOL):
+        import ctypes
+
+        from gaussian_lic_tpu import native
+
+        lib = native.get_lib()
+        if lib is None:
+            raise RuntimeError("native runtime unavailable (no g++ or build failed)")
+        self._lib = lib
+        self._ptr = lib.glic_aligner_new(float(tol))
+        self._ct = ctypes
+        self._payloads: dict = {}
+        self._next = 1
+        self.tol = tol
+
+    def __del__(self):
+        lib = getattr(self, "_lib", None)
+        if lib is not None and getattr(self, "_ptr", None):
+            lib.glic_aligner_free(self._ptr)
+            self._ptr = None
+
+    def _put(self, payload: Any) -> int:
+        h = self._next
+        self._next += 1
+        self._payloads[h] = payload
+        return h
+
+    def push_points(self, stamp: float, payload: Any, wall_time: Optional[float] = None):
+        wall = time.monotonic() if wall_time is None else wall_time
+        self._lib.glic_aligner_push_points(self._ptr, stamp, self._put(payload), wall)
+
+    def push_pose(self, stamp: float, payload: Any):
+        self._lib.glic_aligner_push_pose(self._ptr, stamp, self._put(payload))
+
+    def push_image(self, stamp: float, payload: Any):
+        self._lib.glic_aligner_push_image(self._ptr, stamp, self._put(payload))
+
+    @property
+    def last_point_time(self) -> float:
+        return self._lib.glic_aligner_last_point_walltime(self._ptr)
+
+    @property
+    def dropped(self) -> int:
+        return int(self._lib.glic_aligner_dropped(self._ptr))
+
+    def pop_aligned(self) -> Optional[Tuple[float, Any, Any, Any]]:
+        ct = self._ct
+        stamp = ct.c_double()
+        pts = ct.c_uint64()
+        pose = ct.c_uint64()
+        img = ct.c_uint64()
+        dropped = (ct.c_uint64 * 64)()
+        n_dropped = ct.c_int()
+        ok = self._lib.glic_aligner_pop(
+            self._ptr, ct.byref(stamp), ct.byref(pts), ct.byref(pose),
+            ct.byref(img), dropped, ct.byref(n_dropped),
+        )
+        for i in range(n_dropped.value):
+            self._payloads.pop(dropped[i], None)
+        if not ok:
+            return None
+        return (
+            stamp.value,
+            self._payloads.pop(pts.value),
+            self._payloads.pop(pose.value),
+            self._payloads.pop(img.value),
+        )
+
+
+def make_aligner(tol: float = ALIGN_TOL, prefer_native: bool = True):
+    """The native aligner when the C++ runtime is buildable, else pure Python."""
+    if prefer_native:
+        try:
+            return NativeStreamAligner(tol)
+        except RuntimeError:
+            pass
+    return StreamAligner(tol)
+
+
 class Watchdog:
     """End-of-stream detector (mapping.cpp:224-234): fires once the map is
     initialized and no point message has arrived for `timeout` seconds."""

@@ -48,7 +48,7 @@ from gaussian_lic_tpu.models.gaussians import (
 )
 from gaussian_lic_tpu.ops import adam as adam_ops
 from gaussian_lic_tpu.ops import losses
-from gaussian_lic_tpu.ops.rasterize import render_map
+from gaussian_lic_tpu.ops.rasterize import _splat_budget_for, render_map
 
 PARAM_GROUPS = ("xyz", "dc", "sh_rest", "opacity", "log_scale", "quat")
 
@@ -126,10 +126,7 @@ def _make_train_step(intr: Intrinsics, cfg: Params):
     return train_step
 
 
-def _splat_budget(capacity: int, cfg: Params) -> int:
-    # sorted-splat-list budget: 4 entries per Gaussian on average, power-of-two
-    b = 1 << max(int(np.ceil(np.log2(max(capacity, 1) * 4))), 12)
-    return min(b, capacity * cfg.max_tiles_per_gaussian)
+_splat_budget = _splat_budget_for
 
 
 @functools.lru_cache(maxsize=8)

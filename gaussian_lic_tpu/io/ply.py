@@ -44,18 +44,38 @@ def save_ply(
     log_scale: np.ndarray,  # (n,3)
     quat: np.ndarray,       # (n,4)
     skybox_count: int = 0,
+    use_native: bool = True,
 ) -> None:
     sl = slice(skybox_count, None)
-    xyz = np.asarray(xyz, np.float32)[sl]
-    dc = np.asarray(dc, np.float32)[sl]
-    sh_rest = np.asarray(sh_rest, np.float32)[sl]
-    opa = np.asarray(opa_logit, np.float32)[sl].reshape(-1, 1)
-    ls = np.asarray(log_scale, np.float32)[sl]
-    q = np.asarray(quat, np.float32)[sl]
+    xyz = np.ascontiguousarray(np.asarray(xyz, np.float32)[sl])
+    dc = np.ascontiguousarray(np.asarray(dc, np.float32)[sl])
+    sh_rest = np.ascontiguousarray(np.asarray(sh_rest, np.float32)[sl])
+    opa = np.ascontiguousarray(np.asarray(opa_logit, np.float32)[sl].reshape(-1))
+    ls = np.ascontiguousarray(np.asarray(log_scale, np.float32)[sl])
+    q = np.ascontiguousarray(np.asarray(quat, np.float32)[sl])
     n, S = sh_rest.shape[0], sh_rest.shape[1]
+
+    if use_native:
+        from gaussian_lic_tpu import native
+
+        lib = native.get_lib()
+        if lib is not None:
+            import ctypes
+
+            fp = lambda a: a.ctypes.data_as(ctypes.POINTER(ctypes.c_float))
+            rc = lib.glic_ply_write(
+                path.encode(), n, S, fp(xyz), fp(dc), fp(sh_rest), fp(opa),
+                fp(ls), fp(q),
+            )
+            if rc == 0:
+                return
+            raise IOError(f"native PLY write failed (rc={rc}): {path}")
+
     # channel-major rest coefficients (gaussian.cpp:313: transpose(1,2).flatten(1))
     rest = np.transpose(sh_rest, (0, 2, 1)).reshape(n, 3 * S)
-    rec = np.concatenate([xyz, dc, rest, opa, ls, q], axis=1).astype("<f4")
+    rec = np.concatenate(
+        [xyz, dc, rest, opa.reshape(-1, 1), ls, q], axis=1
+    ).astype("<f4")
     with open(path, "wb") as f:
         f.write(_header(n, S))
         f.write(rec.tobytes())

@@ -85,13 +85,13 @@ def _forward_kernel(
     # scalar prefetch
     starts_ref, lens_ref,
     # inputs
-    splats_ref,                 # (M + CHUNK, SPLAT_ROWS) f32 in HBM/ANY
+    splats_ref,                 # (SPLAT_ROWS, M_pad) f32 in HBM/ANY, attribute-major
     # outputs (blocked per tile)
     color_ref,                  # (3, th, tw)
     final_t_ref,                # (th, tw)
     ncontrib_ref,               # (th, tw) int32
     # scratch
-    buf, sem,
+    dbuf, buf, sem,
     *, n_tx: int, tile_h: int, tile_w: int, no_color: bool,
 ):
     t = pl.program_id(0)
@@ -104,19 +104,23 @@ def _forward_kernel(
     C0r = jnp.zeros(shape, jnp.float32)
     C0g = jnp.zeros(shape, jnp.float32)
     C0b = jnp.zeros(shape, jnp.float32)
-    done0 = jnp.zeros(shape, jnp.bool_)
+    # done carried as f32 (Mosaic cannot carry (8,128) i1 vectors through scf.for)
+    done0 = jnp.zeros(shape, jnp.float32)
     last0 = jnp.zeros(shape, jnp.int32)
 
     n_chunks = pl.cdiv(length, CHUNK)
 
     def chunk_body(ci, carry):
         T, Cr, Cg, Cb, done, last = carry
-        chunk_start = start + ci * CHUNK
+        # start is CHUNK-aligned (ops.tiles); multiple_of makes it provable
+        chunk_start = pl.multiple_of(start + ci * CHUNK, CHUNK)
         copy = pltpu.make_async_copy(
-            splats_ref.at[pl.ds(chunk_start, CHUNK), :], buf, sem
+            splats_ref.at[:, pl.ds(chunk_start, CHUNK)], dbuf, sem
         )
         copy.start()
         copy.wait()
+        # row-major view for per-splat dynamic-sublane scalar reads
+        buf[:, :] = dbuf[:, :].T
         remaining = length - ci * CHUNK  # entries of this chunk inside the range
 
         def splat_step(j, c):
@@ -130,8 +134,8 @@ def _forward_kernel(
             contrib = (alpha >= OPACITY_THRESHOLD) & (power <= 0.0) & in_range
             test_T = T * (1.0 - alpha)
             would_term = contrib & (test_T < T_EPS)
-            applied = contrib & jnp.logical_not(done) & jnp.logical_not(would_term)
-            done = done | would_term
+            applied = contrib & (done < 0.5) & jnp.logical_not(would_term)
+            done = jnp.maximum(done, would_term.astype(jnp.float32))
             w = jnp.where(applied, alpha * T, 0.0)
             if not no_color:
                 Cr = Cr + w * r
@@ -145,7 +149,7 @@ def _forward_kernel(
         def process(c):
             return jax.lax.fori_loop(0, CHUNK, splat_step, c)
 
-        all_done = jnp.all(done)
+        all_done = jnp.min(done) > 0.5
         return jax.lax.cond(all_done, lambda c: c, process, (T, Cr, Cg, Cb, done, last))
 
     T, Cr, Cg, Cb, done, last = jax.lax.fori_loop(
@@ -170,8 +174,8 @@ def _forward_kernel(
     static_argnames=("n_tx", "n_ty", "tile_h", "tile_w", "no_color"),
 )
 def blend_forward(
-    splats: jnp.ndarray,       # (M + CHUNK, SPLAT_ROWS) f32 packed sorted splats
-    tile_starts: jnp.ndarray,  # (T,) int32
+    splats: jnp.ndarray,       # (SPLAT_ROWS, M_pad) f32 packed sorted splats
+    tile_starts: jnp.ndarray,  # (T,) int32 — CHUNK-aligned
     tile_lens: jnp.ndarray,    # (T,) int32
     *,
     n_tx: int,
@@ -199,6 +203,7 @@ def blend_forward(
             pl.BlockSpec((tile_h, tile_w), lambda t, *_: (t // n_tx, t % n_tx)),
         ],
         scratch_shapes=[
+            pltpu.VMEM((SPLAT_ROWS, CHUNK), jnp.float32),
             pltpu.VMEM((CHUNK, SPLAT_ROWS), jnp.float32),
             pltpu.SemaphoreType.DMA,
         ],
@@ -227,14 +232,14 @@ def _backward_kernel(
     # scalar prefetch
     starts_ref, lens_ref,
     # inputs
-    splats_ref,                 # (M + CHUNK, SPLAT_ROWS) ANY
+    splats_ref,                 # (SPLAT_ROWS, M_pad) ANY, attribute-major
     dl_dcolor_ref,              # (3, th, tw) block
     final_t_ref,                # (th, tw) block
     ncontrib_ref,               # (th, tw) int32 block
     # outputs
-    grads_ref,                  # (M + CHUNK, SPLAT_ROWS) ANY — per-entry grads
+    grads_ref,                  # (SPLAT_ROWS, M_pad) ANY — per-entry grads
     # scratch
-    buf, gbuf, sem_in, sem_out,
+    dbuf, buf, gbuf, tbuf, sem_in, sem_out,
     *, n_tx: int, tile_h: int, tile_w: int,
 ):
     t = pl.program_id(0)
@@ -255,12 +260,13 @@ def _backward_kernel(
     def chunk_body(r, carry):
         T_run, Sr, Sg, Sb = carry
         ci = n_chunks - 1 - r
-        chunk_start = start + ci * CHUNK
+        chunk_start = pl.multiple_of(start + ci * CHUNK, CHUNK)
         copy = pltpu.make_async_copy(
-            splats_ref.at[pl.ds(chunk_start, CHUNK), :], buf, sem_in
+            splats_ref.at[:, pl.ds(chunk_start, CHUNK)], dbuf, sem_in
         )
         copy.start()
         copy.wait()
+        buf[:, :] = dbuf[:, :].T
         remaining = length - ci * CHUNK
 
         def splat_step(jr, c):
@@ -309,23 +315,21 @@ def _backward_kernel(
             Sr = Sr + wsel * rr
             Sg = Sg + wsel * gg
             Sb = Sb + wsel * bb
-            row = jnp.zeros((SPLAT_ROWS,), jnp.float32)
-            row = row.at[GROW_X].set(d_x)
-            row = row.at[GROW_Y].set(d_y)
-            row = row.at[GROW_A].set(d_A)
-            row = row.at[GROW_B].set(d_B)
-            row = row.at[GROW_C].set(d_C)
-            row = row.at[GROW_OPA].set(d_opa)
-            row = row.at[GROW_R].set(d_r)
-            row = row.at[GROW_G].set(d_g)
-            row = row.at[GROW_B2].set(d_b)
-            gbuf[j, :] = row
+            # stacked-scalar row store (scatter/.at[].set does not lower in Mosaic;
+            # a (1,16) vector store at a dynamic sublane does)
+            zero = jnp.float32(0.0)
+            row = jnp.stack(
+                [d_x, d_y, d_A, d_B, d_C, d_opa, d_r, d_g, d_b,
+                 zero, zero, zero, zero, zero, zero, zero]
+            )
+            gbuf[pl.ds(j, 1), :] = row[None, :]
             return (T_run, Sr, Sg, Sb)
 
         carry = jax.lax.fori_loop(0, CHUNK, splat_step, (T_run, Sr, Sg, Sb))
 
+        tbuf[:, :] = gbuf[:, :].T
         out_copy = pltpu.make_async_copy(
-            gbuf, grads_ref.at[pl.ds(chunk_start, CHUNK), :], sem_out
+            tbuf, grads_ref.at[:, pl.ds(chunk_start, CHUNK)], sem_out
         )
         out_copy.start()
         out_copy.wait()
@@ -339,7 +343,7 @@ def _backward_kernel(
     static_argnames=("n_tx", "n_ty", "tile_h", "tile_w"),
 )
 def blend_backward(
-    splats: jnp.ndarray,       # (M + CHUNK, SPLAT_ROWS)
+    splats: jnp.ndarray,       # (SPLAT_ROWS, M_pad)
     tile_starts: jnp.ndarray,
     tile_lens: jnp.ndarray,
     dl_dcolor: jnp.ndarray,    # (3, Hp, Wp)
@@ -351,7 +355,7 @@ def blend_backward(
     tile_h: int = 8,
     tile_w: int = 128,
 ) -> jnp.ndarray:
-    """Returns per-entry gradients (M + CHUNK, SPLAT_ROWS)."""
+    """Returns per-entry gradients (SPLAT_ROWS, M_pad)."""
     T = n_tx * n_ty
     kernel = functools.partial(
         _backward_kernel, n_tx=n_tx, tile_h=tile_h, tile_w=tile_w
@@ -367,8 +371,10 @@ def blend_backward(
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
+            pltpu.VMEM((SPLAT_ROWS, CHUNK), jnp.float32),
             pltpu.VMEM((CHUNK, SPLAT_ROWS), jnp.float32),
             pltpu.VMEM((CHUNK, SPLAT_ROWS), jnp.float32),
+            pltpu.VMEM((SPLAT_ROWS, CHUNK), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],

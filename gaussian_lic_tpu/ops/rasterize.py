@@ -52,6 +52,13 @@ from gaussian_lic_tpu.ops.projection import OPACITY_THRESHOLD, project_gaussians
 from gaussian_lic_tpu.ops.rasterize_ref import RenderOutput
 
 
+def _splat_budget_for(capacity: int, cfg) -> int:
+    """Sorted-splat-list budget: ~4 entries per Gaussian on average, power-of-two,
+    capped by the hard per-Gaussian slot limit."""
+    b = 1 << max(int(np.ceil(np.log2(max(capacity, 1) * 4))), 12)
+    return min(b, capacity * cfg.max_tiles_per_gaussian)
+
+
 class TiledRenderOutput(NamedTuple):
     image: jnp.ndarray      # (3, H, W)
     final_T: jnp.ndarray    # (H, W)
@@ -83,10 +90,11 @@ def _make_blend(n_tx: int, n_ty: int, tile_h: int, tile_w: int, max_total_splats
 
     def _fwd_impl(xy, conic, opacity, rgb, sorted_gauss, tile_starts, tile_lens):
         rows = _pack_rows(xy, conic, opacity, rgb)
-        splats = jnp.take(rows, sorted_gauss, axis=0, mode="clip")
-        splats = jnp.concatenate(
-            [splats, jnp.zeros((CHUNK, SPLAT_ROWS), jnp.float32)], axis=0
-        )
+        # dead entries (sentinel id = P) → zero rows → alpha 0 → skipped in-kernel;
+        # attribute-major layout for 128-lane-aligned DMA slices
+        splats = jnp.take(
+            rows, sorted_gauss, axis=0, mode="fill", fill_value=0.0
+        ).T  # (SPLAT_ROWS, M_pad)
         color, final_t, n_contrib = blend_forward(
             splats, tile_starts, tile_lens,
             n_tx=n_tx, n_ty=n_ty, tile_h=tile_h, tile_w=tile_w,
@@ -116,10 +124,10 @@ def _make_blend(n_tx: int, n_ty: int, tile_h: int, tile_w: int, max_total_splats
             splats, tile_starts, tile_lens,
             d_color, final_t, n_contrib,
             n_tx=n_tx, n_ty=n_ty, tile_h=tile_h, tile_w=tile_w,
-        )
+        ).T  # (M_pad, SPLAT_ROWS)
         P, K = inv_pos.shape
         slot_grads = jnp.take(
-            entry_grads[:M], inv_pos.reshape(-1), axis=0,
+            entry_grads, inv_pos.reshape(-1), axis=0,
             mode="fill", fill_value=0.0,
         ).reshape(P, K, SPLAT_ROWS)
         g = jnp.sum(slot_grads, axis=1)  # (P, SPLAT_ROWS)
@@ -131,9 +139,10 @@ def _make_blend(n_tx: int, n_ty: int, tile_h: int, tile_w: int, max_total_splats
         def int_zero(x):
             return np.zeros(x.shape, jax.dtypes.float0)
 
+        m_pad = entry_grads.shape[0]
         return (
             d_xy, d_conic, d_opa, d_rgb,
-            int_zero(jnp.zeros(M, jnp.int32)),
+            int_zero(jnp.zeros(m_pad, jnp.int32)),
             int_zero(tile_starts),
             int_zero(tile_lens),
             int_zero(inv_pos),
@@ -193,15 +202,15 @@ def render_tiled(
         base_active, grid,
         max_tiles_per_gaussian=max_tiles_per_gaussian,
         max_total_splats=max_total_splats,
+        align=CHUNK,
     )
 
     if no_color:
         # alpha-only pass (extend(), gaussian.cpp:505-507) — no gradients needed
         rows = _pack_rows(sg(proj.xy), sg(proj.conic), sg(opacity), rgb)
-        splats = jnp.take(rows, binning.sorted_gauss, axis=0, mode="clip")
-        splats = jnp.concatenate(
-            [splats, jnp.zeros((CHUNK, SPLAT_ROWS), jnp.float32)], axis=0
-        )
+        splats = jnp.take(
+            rows, binning.sorted_gauss, axis=0, mode="fill", fill_value=0.0
+        ).T
         color_p, final_t_p, ncontrib_p = blend_forward(
             splats, binning.tile_starts, binning.tile_lens,
             n_tx=grid.n_tx, n_ty=grid.n_ty, tile_h=tile_h, tile_w=tile_w,

@@ -65,11 +65,10 @@ class TileGrid(NamedTuple):
 
 
 class Binning(NamedTuple):
-    sorted_gauss: jnp.ndarray   # (M,) int32 — Gaussian id per sorted entry
-    sorted_slot: jnp.ndarray    # (M,) int32 — flat slot id (g·K + k) per entry
-    tile_starts: jnp.ndarray    # (T,) int32 — entry offset of each tile's range
-    tile_lens: jnp.ndarray      # (T,) int32
-    inv_pos: jnp.ndarray        # (P, K) int32 — sorted position of each slot (M if dead)
+    sorted_gauss: jnp.ndarray   # (M_pad,) int32 — Gaussian id per entry (P = dead)
+    tile_starts: jnp.ndarray    # (T,) int32 — `align`-aligned offset of each tile
+    tile_lens: jnp.ndarray      # (T,) int32 — live entries per tile (≤ padded span)
+    inv_pos: jnp.ndarray        # (P, K) int32 — aligned position of each slot (M_pad if dead)
     num_valid: jnp.ndarray      # () int32 — live entries (pre-budget-truncation)
     overflow: jnp.ndarray      # () int32 — slots lost to rect truncation or budget
     tiles_touched: jnp.ndarray  # (P,) int32 — live tiles per Gaussian (exact culled)
@@ -95,7 +94,12 @@ def gaussian_rects(
     return rect_min_x, rect_min_y, rect_max_x, rect_max_y
 
 
-@functools.partial(jax.jit, static_argnames=("grid", "max_tiles_per_gaussian", "max_total_splats"))
+@functools.partial(
+    jax.jit,
+    static_argnames=(
+        "grid", "max_tiles_per_gaussian", "max_total_splats", "band_n_ty", "align"
+    ),
+)
 def bin_gaussians(
     xy: jnp.ndarray,        # (P,2)
     depth: jnp.ndarray,     # (P,)
@@ -106,12 +110,28 @@ def bin_gaussians(
     grid: TileGrid,
     max_tiles_per_gaussian: int = 16,
     max_total_splats: int = 1 << 22,
+    band_ty0=None,          # traced int32 — first tile row of this device's band
+    band_n_ty: int = None,  # static — tile rows in the band (None = full grid)
+    align: int = 256,       # static — tile ranges start/end on `align` boundaries
 ) -> Binning:
+    """Bin into the full grid, or — for the tile-row-sharded multi-chip renderer
+    (parallel.sharded) — into a horizontal band of `band_n_ty` tile rows starting
+    at traced row `band_ty0`. Tile ids in the output are band-local.
+
+    Each tile's entry range is placed at an `align`-multiple offset and padded to
+    an `align`-multiple length with dead entries (gauss id = P → zero splat rows):
+    the Mosaic DMA that streams the splat list requires 128-lane-aligned slices,
+    so the blend kernel walks whole aligned chunks and masks the tail. The output
+    list is therefore (M + num_tiles·align) entries long."""
     P = xy.shape[0]
     K = max_tiles_per_gaussian
     M = max_total_splats
-    assert grid.num_tiles <= MAX_TILE_ID, "tile id does not fit the uint32 key"
+    n_ty_local = grid.n_ty if band_n_ty is None else band_n_ty
+    num_tiles_local = n_ty_local * grid.n_tx
+    assert num_tiles_local <= MAX_TILE_ID, "tile id does not fit the uint32 key"
     assert P <= (1 << RANK_BITS), "depth rank does not fit the uint32 key"
+    if band_ty0 is None:
+        band_ty0 = jnp.int32(0)
 
     live = active & (radius > 0.0)
 
@@ -153,11 +173,13 @@ def bin_gaussians(
     )
     contributes = power <= opacity_power_threshold[:, None]
 
-    slot_valid = live[:, None] & in_rect & contributes     # (P, K)
+    ty_local = ty - band_ty0
+    in_band = (ty_local >= 0) & (ty_local < n_ty_local)
+    slot_valid = live[:, None] & in_rect & contributes & in_band  # (P, K)
     tiles_touched = jnp.sum(slot_valid, axis=1).astype(jnp.int32)
 
-    # --- keys & sort ---
-    tile_id = (ty * grid.n_tx + tx).astype(jnp.uint32)
+    # --- keys & sort --- (band-local tile ids; dead slots masked before the cast)
+    tile_id = jnp.where(slot_valid, ty_local * grid.n_tx + tx, 0).astype(jnp.uint32)
     keys = jnp.where(
         slot_valid,
         (tile_id << RANK_BITS) | rank[:, None],
@@ -167,35 +189,67 @@ def bin_gaussians(
     sorted_keys, sorted_slots = jax.lax.sort((keys, slot_ids), num_keys=1)
 
     num_valid = jnp.sum(slot_valid).astype(jnp.int32)
+    # Slots silently lost to rect truncation: in-band rect tiles whose row-major
+    # index within the rect is >= K (we only enumerate the first K slots).
+    band_end = band_ty0 + n_ty_local
+    rows_in_band = jnp.clip(
+        jnp.minimum(rmaxy, band_end) - jnp.maximum(rminy, band_ty0), 0, None
+    )
+    in_band_total = rows_in_band * rect_w
+    in_band_enumerated = jnp.sum((in_rect & in_band).astype(jnp.int32), axis=1)
     truncated = jnp.sum(
-        jnp.where(live, jnp.maximum(rect_count - K, 0), 0)
+        jnp.where(live, jnp.maximum(in_band_total - in_band_enumerated, 0), 0)
     ).astype(jnp.int32)
     budget_lost = jnp.maximum(num_valid - M, 0)
     overflow = truncated + budget_lost
 
+    m_eff = min(M, P * K)  # the sorted list can't exceed the slot count
+
     # --- inverse permutation: slot → sorted position (second sort) ---
     pos_ids = jnp.arange(P * K, dtype=jnp.int32)
     _, inv_flat = jax.lax.sort((sorted_slots, pos_ids), num_keys=1)
-    # positions beyond the budget (or belonging to dead slots) → sentinel M
+    # positions beyond the budget (or belonging to dead slots) → sentinel m_eff
     dead = ~slot_valid.reshape(-1)
-    inv_flat = jnp.where(dead | (inv_flat >= M), M, inv_flat)
-    inv_pos = inv_flat.reshape(P, K)
+    inv_flat = jnp.where(dead | (inv_flat >= m_eff), m_eff, inv_flat)
 
     # --- budget truncation + per-tile ranges ---
-    sorted_keys = sorted_keys[:M]
-    sorted_slots = sorted_slots[:M]
+    sorted_keys = sorted_keys[:m_eff]
+    sorted_slots = sorted_slots[:m_eff]
     sorted_tiles = (sorted_keys >> RANK_BITS).astype(jnp.int32)
-    boundaries = jnp.arange(grid.num_tiles + 1, dtype=jnp.int32)
+    boundaries = jnp.arange(num_tiles_local + 1, dtype=jnp.int32)
     edges = jnp.searchsorted(sorted_tiles, boundaries, side="left").astype(jnp.int32)
-    tile_starts = edges[:-1]
+    raw_starts = edges[:-1]
     tile_lens = edges[1:] - edges[:-1]
 
-    sorted_gauss = sorted_slots // K
+    # --- re-layout to align-padded per-tile ranges ---
+    M_pad = ((m_eff + align - 1) // align) * align + num_tiles_local * align
+    padded_lens = ((tile_lens + align - 1) // align) * align
+    aligned_starts = jnp.concatenate(
+        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_lens, dtype=jnp.int32)]
+    )[:-1]
+    entry_pos = jnp.arange(m_eff, dtype=jnp.int32)
+    in_grid = sorted_tiles < num_tiles_local  # INVALID keys decode to ≥ num_tiles
+    safe_tile = jnp.clip(sorted_tiles, 0, num_tiles_local - 1)
+    dest = jnp.where(
+        in_grid,
+        aligned_starts[safe_tile] + entry_pos - raw_starts[safe_tile],
+        M_pad,
+    )
+    sorted_gauss_raw = (sorted_slots // K).astype(jnp.int32)
+    sorted_gauss = (
+        jnp.full((M_pad,), P, jnp.int32)
+        .at[dest]
+        .set(jnp.where(in_grid, sorted_gauss_raw, P), mode="drop")
+    )
+
+    # slot → aligned position (dead/over-budget → M_pad)
+    dest_ext = jnp.concatenate([dest, jnp.full((1,), M_pad, jnp.int32)])
+    inv_aligned = jnp.take(dest_ext, inv_flat, axis=0)
+    inv_pos = inv_aligned.reshape(P, K)
 
     return Binning(
-        sorted_gauss=sorted_gauss.astype(jnp.int32),
-        sorted_slot=sorted_slots.astype(jnp.int32),
-        tile_starts=tile_starts,
+        sorted_gauss=sorted_gauss,
+        tile_starts=aligned_starts,
         tile_lens=tile_lens,
         inv_pos=inv_pos,
         num_valid=num_valid,

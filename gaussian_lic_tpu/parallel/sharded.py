@@ -1,0 +1,265 @@
+"""Multi-chip sharded rendering and training over a `jax.sharding.Mesh`.
+
+The reference is a single-process, single-GPU program with **no** distributed story
+(SURVEY.md §2, "Parallelism & distributed inventory") — this scale axis is ours to
+design. The natural decomposition for tiled 3DGS rasterization on a TPU pod slice:
+
+  * **Tile-row sharding (spatial parallel)** — the hot work is the per-tile alpha
+    blend (O(splats·pixels), renderCUDA's analogue). The tile grid is split into
+    `n_ty / D` horizontal bands, one per device; each device bins and blends only
+    its band's splats (band-aware `ops.tiles.bin_gaussians`), then the band images
+    are stitched with one `all_gather` over ICI (a few MB — trivial next to the
+    blend FLOPs it parallelizes).
+  * **Replicated preprocess** — projection/EWA/SH is O(P) elementwise with ~200
+    flops/Gaussian, orders of magnitude below the blend; replicating it avoids an
+    all-gather of per-Gaussian intermediates and keeps the backward local.
+  * **Replicated parameters, psum'd gradients (data-parallel optimizer)** — each
+    device backprops its band's contribution; one `psum` over ICI yields the full
+    gradient and every device applies the identical sparse-Adam update. The /D
+    correction below accounts for the loss being recomputed on every device from
+    the all-gathered image (the all_gather transpose — a psum_scatter — sums D
+    identical image cotangents).
+
+Gradient flow (all inside one jitted SPMD program, AD-derived):
+  loss (replicated) → d/d image → all_gather^T = psum_scatter → per-band image
+  cotangent → Pallas blend backward (custom_vjp) → per-entry grads → inverse-
+  permutation gather → per-Gaussian partial grads → psum/D → full grads.
+
+Capacity growth, keyframe cadence, and densification are unchanged host-side logic
+(engine.trainer.MappingEngine accepts a mesh and swaps its train step for this one).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+
+from gaussian_lic_tpu.camera import Camera, Intrinsics
+from gaussian_lic_tpu.config import Params
+from gaussian_lic_tpu.models.gaussians import GaussianMap, LearningRates
+from gaussian_lic_tpu.ops import adam as adam_ops
+from gaussian_lic_tpu.ops import losses
+from gaussian_lic_tpu.ops import sh as sh_ops
+from gaussian_lic_tpu.ops import tiles as tiles_ops
+from gaussian_lic_tpu.ops.blend_pallas import CHUNK
+from gaussian_lic_tpu.ops.projection import OPACITY_THRESHOLD, project_gaussians
+from gaussian_lic_tpu.ops.rasterize import _make_blend, _splat_budget_for
+
+AXIS_TILES = "tiles"
+
+
+def make_mesh(n_devices: Optional[int] = None, axis_name: str = AXIS_TILES) -> Mesh:
+    """1-D device mesh over the tile-band axis (v5e-8: all 8 chips on ICI)."""
+    devs = jax.devices()
+    n = len(devs) if n_devices is None else n_devices
+    if n > len(devs):
+        raise ValueError(f"requested {n} devices, have {len(devs)}")
+    return Mesh(np.asarray(devs[:n]), (axis_name,))
+
+
+def render_band(
+    xyz: jnp.ndarray,
+    scale: jnp.ndarray,
+    quat: jnp.ndarray,
+    opacity: jnp.ndarray,
+    camera: Camera,
+    *,
+    dc: jnp.ndarray,
+    sh_rest: jnp.ndarray,
+    sh_degree: int,
+    active: jnp.ndarray,
+    band_ty0: jnp.ndarray,   # traced int32 — first tile row of this band
+    band_n_ty: int,          # static — tile rows per band
+    tile_h: int,
+    tile_w: int,
+    max_tiles_per_gaussian: int,
+    max_total_splats: int,   # per-band splat budget
+):
+    """Per-device differentiable render of one horizontal band of tile rows.
+
+    Returns (color (3, band_n_ty·tile_h, Wp), final_T, visible (P,), overflow ()).
+    Same math as ops.rasterize.render_tiled restricted to the band.
+    """
+    intr = camera.intr
+    grid = tiles_ops.TileGrid(
+        width=intr.width, height=intr.height, tile_w=tile_w, tile_h=tile_h
+    )
+
+    proj = project_gaussians(xyz, scale, quat, camera)
+    base_active = (
+        proj.in_front & proj.det_valid & (opacity >= OPACITY_THRESHOLD) & active
+    )
+    radius = jnp.where(base_active, proj.radius, 0.0)
+    visible = radius > 0.0
+
+    dirs = xyz - camera.cam_center
+    rgb = sh_ops.eval_sh_color(sh_degree, dc, sh_rest, dirs)
+
+    sg = lax.stop_gradient
+    binning = tiles_ops.bin_gaussians(
+        sg(proj.xy), sg(proj.depth), sg(proj.conic), sg(opacity), sg(radius),
+        base_active, grid,
+        max_tiles_per_gaussian=max_tiles_per_gaussian,
+        max_total_splats=max_total_splats,
+        band_ty0=sg(band_ty0),
+        band_n_ty=band_n_ty,
+        align=CHUNK,
+    )
+    # The blend kernel derives pixel coords from band-local tile indices; shift
+    # splat y into band-local pixel space (a constant shift — gradient-transparent).
+    y_off = (band_ty0 * tile_h).astype(jnp.float32)
+    xy_local = proj.xy - jnp.stack(
+        [jnp.zeros((), jnp.float32), y_off]
+    )[None, :]
+    blend = _make_blend(grid.n_tx, band_n_ty, tile_h, tile_w, max_total_splats)
+    color, final_t, _n_contrib = blend(
+        xy_local, proj.conic, opacity, rgb,
+        binning.sorted_gauss, binning.tile_starts, binning.tile_lens,
+        binning.inv_pos,
+    )
+    return color, final_t, visible, binning.overflow
+
+
+def _band_geometry(intr: Intrinsics, cfg: Params, n_dev: int):
+    grid = tiles_ops.TileGrid(
+        width=intr.width, height=intr.height, tile_w=cfg.tile_w, tile_h=cfg.tile_h
+    )
+    if grid.n_ty % n_dev != 0:
+        raise ValueError(
+            f"tile rows ({grid.n_ty}) not divisible by mesh size ({n_dev}); "
+            f"pad the image height to a multiple of {cfg.tile_h * n_dev}"
+        )
+    return grid, grid.n_ty // n_dev
+
+
+def make_sharded_train_step(intr: Intrinsics, cfg: Params, mesh: Mesh,
+                            axis_name: str = AXIS_TILES):
+    """Jitted SPMD train step: signature-compatible with the single-chip
+    trainer._make_train_step product — (gm, opt_state, kf, idx, exp_step) →
+    (gm', opt_state', metrics)."""
+    n_dev = int(mesh.devices.size)
+    grid, band_n_ty = _band_geometry(intr, cfg, n_dev)
+    lrs = LearningRates.from_params(cfg)
+    H, W = intr.height, intr.width
+    lr_map = dict(
+        xyz=lrs.xyz, dc=lrs.dc, sh_rest=lrs.sh_rest,
+        opacity=lrs.opacity, log_scale=lrs.log_scale, quat=lrs.quat,
+    )
+
+    def device_body(gm: GaussianMap, opt_state, kf, idx, exp_step):
+        dev = lax.axis_index(axis_name)
+        ty0 = (dev * band_n_ty).astype(jnp.int32)
+        cam = kf.camera(intr, idx)
+        gt = kf.images[idx].astype(jnp.float32) / 255.0
+        m_local = max(_splat_budget_for(gm.capacity, cfg) // n_dev, 1 << 10)
+
+        def loss_fn(trainable):
+            gm2 = gm.with_trainable(trainable)
+            color_l, _ft, visible, overflow = render_band(
+                gm2.xyz, gm2.scaling, gm2.rotation, gm2.opacity, cam,
+                dc=gm2.dc, sh_rest=gm2.sh_rest, sh_degree=gm2.sh_degree,
+                active=gm2.active_mask(),
+                band_ty0=ty0, band_n_ty=band_n_ty,
+                tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+                max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
+                max_total_splats=m_local,
+            )
+            img = lax.all_gather(color_l, axis_name, axis=1, tiled=True)
+            image = img[:, :H, :W]
+            if cfg.apply_exposure:
+                exposure = trainable["exposure"]
+                flat = image.reshape(3, -1)
+                image = (exposure[:, :3] @ flat + exposure[:, 3:]).reshape(3, H, W)
+            loss = losses.training_loss(image, gt, cfg.lambda_dssim)
+            return loss, (visible, overflow)
+
+        trainable = gm.trainable()
+        if cfg.apply_exposure:
+            trainable = dict(trainable, exposure=gm.exposure)
+        (loss, (visible, overflow)), grads = jax.value_and_grad(
+            loss_fn, has_aux=True
+        )(trainable)
+        # Every device recomputes the identical loss from the all-gathered image,
+        # so the all_gather transpose sums D equal image cotangents: psum of the
+        # per-device grads is D·(full gradient) — normalize by D.
+        grads = jax.tree_util.tree_map(
+            lambda g: lax.psum(g, axis_name) / n_dev, grads
+        )
+
+        visible = visible & gm.active_mask()
+        new_trainable = {}
+        new_opt = {}
+        for name in ("xyz", "dc", "sh_rest", "opacity", "log_scale", "quat"):
+            p, st = adam_ops.sparse_adam_update(
+                trainable[name], grads[name], opt_state[name], visible, lr_map[name]
+            )
+            new_trainable[name] = p
+            new_opt[name] = st
+        gm_new = gm.with_trainable(new_trainable)
+        if cfg.apply_exposure:
+            exp_p, exp_st = adam_ops.dense_adam_update(
+                trainable["exposure"], grads["exposure"], opt_state["exposure"],
+                lr=cfg.exposure_lr, step_count=exp_step,
+            )
+            gm_new = gm_new.replace(exposure=exp_p)
+            new_opt["exposure"] = exp_st
+        elif "exposure" in opt_state:
+            new_opt["exposure"] = opt_state["exposure"]
+
+        metrics = {
+            "loss": loss,
+            "n_visible": jnp.sum(visible.astype(jnp.int32)),
+            "overflow": lax.psum(overflow, axis_name),
+        }
+        return gm_new, new_opt, metrics
+
+    step = jax.shard_map(
+        device_body,
+        mesh=mesh,
+        in_specs=(P(), P(), P(), P(), P()),
+        out_specs=(P(), P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(step)
+
+
+def make_sharded_render(intr: Intrinsics, cfg: Params, mesh: Mesh,
+                        axis_name: str = AXIS_TILES):
+    """Jitted SPMD forward render: (gm, kf, idx) → full (3, H, W) image.
+    Tile bands in parallel across the mesh, stitched by one all_gather."""
+    n_dev = int(mesh.devices.size)
+    _grid, band_n_ty = _band_geometry(intr, cfg, n_dev)
+    H, W = intr.height, intr.width
+
+    def device_body(gm: GaussianMap, kf, idx):
+        dev = lax.axis_index(axis_name)
+        ty0 = (dev * band_n_ty).astype(jnp.int32)
+        cam = kf.camera(intr, idx)
+        m_local = max(_splat_budget_for(gm.capacity, cfg) // n_dev, 1 << 10)
+        color_l, final_t_l, _vis, _ovf = render_band(
+            gm.xyz, gm.scaling, gm.rotation, gm.opacity, cam,
+            dc=gm.dc, sh_rest=gm.sh_rest, sh_degree=gm.sh_degree,
+            active=gm.active_mask(),
+            band_ty0=ty0, band_n_ty=band_n_ty,
+            tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+            max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
+            max_total_splats=m_local,
+        )
+        img = lax.all_gather(color_l, axis_name, axis=1, tiled=True)[:, :H, :W]
+        ft = lax.all_gather(final_t_l, axis_name, axis=0, tiled=True)[:H, :W]
+        return img, ft
+
+    fn = jax.shard_map(
+        device_body,
+        mesh=mesh,
+        in_specs=(P(), P(), P()),
+        out_specs=(P(), P()),
+        check_vma=False,
+    )
+    return jax.jit(fn)

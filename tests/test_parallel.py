@@ -1,0 +1,126 @@
+"""Multi-chip sharding tests on the 8-virtual-device CPU mesh: the sharded
+tile-band renderer and SPMD train step must match the single-chip path
+(same math, same binning, same loss — only partitioned)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from gaussian_lic_tpu.camera import Intrinsics
+from gaussian_lic_tpu.config import Params
+from gaussian_lic_tpu.engine.dataset import KeyframeBuffer, build_camera
+from gaussian_lic_tpu.engine.trainer import PARAM_GROUPS, _make_train_step
+from gaussian_lic_tpu.models.gaussians import initialize_map
+from gaussian_lic_tpu.ops import adam as adam_ops
+from gaussian_lic_tpu.ops.rasterize import render_map
+from gaussian_lic_tpu.parallel import (
+    make_mesh,
+    make_sharded_render,
+    make_sharded_train_step,
+)
+from gaussian_lic_tpu.utils.synthetic import make_sequence, make_world
+
+
+@pytest.fixture(scope="module")
+def setup():
+    rng = np.random.default_rng(7)
+    world = make_world(rng, n_points=250)
+    frames = make_sequence(world, n_frames=3, points_per_frame=150, rng=rng)
+    cfg = Params(
+        width=128, height=64, fx=60.0, fy=60.0, cx=64.0, cy=32.0,
+        skybox_points_num=0, initial_capacity=512,
+        max_tiles_per_gaussian=16, max_train_keyframes=4,
+    )
+    intr = Intrinsics(width=128, height=64, fx=60.0, fy=60.0, cx=64.0, cy=32.0)
+
+    pts = np.concatenate([f.points for f in frames])
+    cols = np.concatenate([f.colors for f in frames])
+    cam0 = build_camera(intr, frames[0])
+    z = (pts @ np.asarray(cam0.pose.R_cw).T + np.asarray(cam0.pose.t_cw))[:, 2]
+    keep = z > 0
+    gm = initialize_map(
+        pts[keep], cols[keep], z[keep].astype(np.float32),
+        focal=60.0, scaling_scale=1.0, sh_degree=3, capacity=512,
+    )
+    kf = KeyframeBuffer.empty(4, intr)
+    for i, f in enumerate(frames):
+        kf = kf.set_frame(i, build_camera(intr, f), f.image_u8())
+    opt = {
+        name: adam_ops.AdamState(
+            jnp.zeros_like(gm.trainable()[name]), jnp.zeros_like(gm.trainable()[name])
+        )
+        for name in PARAM_GROUPS
+    }
+    return cfg, intr, gm, kf, opt
+
+
+class TestShardedRender:
+    def test_matches_single_chip(self, setup):
+        cfg, intr, gm, kf, _ = setup
+        mesh = make_mesh(8)
+        render8 = make_sharded_render(intr, cfg, mesh)
+        img8, ft8 = render8(gm, kf, jnp.asarray(0, jnp.int32))
+
+        cam = KeyframeBuffer.camera(kf, intr, jnp.asarray(0, jnp.int32))
+        out1 = render_map(gm, cam, tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+                          max_total_splats=1 << 12)
+        np.testing.assert_allclose(
+            np.asarray(img8), np.asarray(out1.image), atol=1e-5
+        )
+        np.testing.assert_allclose(
+            np.asarray(ft8), np.asarray(out1.final_T), atol=1e-5
+        )
+
+    def test_mesh_sizes(self, setup):
+        cfg, intr, gm, kf, _ = setup
+        cam = KeyframeBuffer.camera(kf, intr, jnp.asarray(1, jnp.int32))
+        ref = render_map(gm, cam, tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+                         max_total_splats=1 << 12)
+        for n in (2, 4):
+            render_n = make_sharded_render(intr, cfg, make_mesh(n))
+            img, _ = render_n(gm, kf, jnp.asarray(1, jnp.int32))
+            np.testing.assert_allclose(
+                np.asarray(img), np.asarray(ref.image), atol=1e-5
+            )
+
+
+class TestShardedTrainStep:
+    def test_matches_single_chip_step(self, setup):
+        cfg, intr, gm, kf, opt = setup
+        idx = jnp.asarray(0, jnp.int32)
+        es = jnp.asarray(1, jnp.int32)
+
+        step1 = _make_train_step(intr, cfg)
+        gm1, opt1, m1 = step1(gm, opt, kf, idx, es)
+
+        step8 = make_sharded_train_step(intr, cfg, make_mesh(8))
+        gm8, opt8, m8 = step8(gm, opt, kf, idx, es)
+
+        assert abs(float(m1["loss"]) - float(m8["loss"])) < 1e-6
+        assert int(m1["n_visible"]) == int(m8["n_visible"])
+        for name in PARAM_GROUPS:
+            np.testing.assert_allclose(
+                np.asarray(gm8.trainable()[name]),
+                np.asarray(gm1.trainable()[name]),
+                atol=2e-5,
+                err_msg=f"param group {name}",
+            )
+            np.testing.assert_allclose(
+                np.asarray(opt8[name].exp_avg),
+                np.asarray(opt1[name].exp_avg),
+                atol=2e-5,
+                err_msg=f"exp_avg {name}",
+            )
+
+    def test_multi_step_loss_decreases(self, setup):
+        cfg, intr, gm, kf, opt = setup
+        step8 = make_sharded_train_step(intr, cfg, make_mesh(8))
+        losses_seen = []
+        for i in range(6):
+            gm, opt, m = step8(
+                gm, opt, kf, jnp.asarray(i % 3, jnp.int32),
+                jnp.asarray(i + 1, jnp.int32),
+            )
+            losses_seen.append(float(m["loss"]))
+        assert losses_seen[-1] < losses_seen[0]

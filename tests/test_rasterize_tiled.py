@@ -53,13 +53,23 @@ class TestBinning:
         return cam, proj, opacity, grid, binning
 
     def test_ranges_partition_sorted_list(self, rng):
+        from gaussian_lic_tpu.ops.blend_pallas import CHUNK
+
         _, _, _, grid, b = self._bin(rng)
         starts = np.asarray(b.tile_starts)
         lens = np.asarray(b.tile_lens)
         assert starts[0] == 0
-        np.testing.assert_array_equal(starts[1:], starts[:-1] + lens[:-1])
-        assert starts[-1] + lens[-1] == int(b.num_valid)
+        # aligned layout: each tile's span is padded to a CHUNK multiple
+        padded = -(-lens // CHUNK) * CHUNK
+        np.testing.assert_array_equal(starts[1:], starts[:-1] + padded[:-1])
+        assert int(np.sum(lens)) == int(b.num_valid)
         assert int(b.num_valid) == int(np.sum(np.asarray(b.tiles_touched)))
+        # padding entries are dead (sentinel id = P)
+        gauss = np.asarray(b.sorted_gauss)
+        P = np.asarray(b.tiles_touched).shape[0]
+        for t in range(grid.num_tiles):
+            pad_seg = gauss[starts[t] + lens[t] : starts[t] + padded[t]]
+            assert np.all(pad_seg == P)
 
     def test_depth_sorted_within_tile(self, rng):
         _, proj, _, grid, b = self._bin(rng)
@@ -92,14 +102,19 @@ class TestBinning:
     def test_inv_pos_roundtrip(self, rng):
         _, _, _, _, b = self._bin(rng)
         inv = np.asarray(b.inv_pos)
-        slots = np.asarray(b.sorted_slot)
+        gauss = np.asarray(b.sorted_gauss)
         P, K = inv.shape
-        M = slots.shape[0]
+        M_pad = gauss.shape[0]
+        seen = set()
         for g in range(P):
             for k in range(K):
                 pos = inv[g, k]
-                if pos < M:
-                    assert slots[pos] == g * K + k
+                if pos < M_pad:
+                    assert gauss[pos] == g
+                    assert pos not in seen  # each entry owned by exactly one slot
+                    seen.add(pos)
+        # every live entry is claimed by some slot
+        assert len(seen) == int(np.sum(np.asarray(b.tile_lens)))
 
     def test_overflow_counts_truncated_rects(self, rng):
         cam = frontal_camera()
