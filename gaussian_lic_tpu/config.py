@@ -58,7 +58,11 @@ class Params:
     # --- TPU rasterizer knobs (no reference counterpart; DESIGN.md §2) ---
     tile_h: int = 8              # VPU sublane dim
     tile_w: int = 128            # VPU lane dim
-    max_tiles_per_gaussian: int = 16   # static K tile-slots per Gaussian
+    # Static K tile-slots per Gaussian. Exact culling leaves ~1.7 live
+    # tiles/Gaussian on average; rects needing more than K slots are truncated
+    # and counted in the render overflow metric. The P·K sorts and the slot-
+    # gradient gather scale linearly in K.
+    max_tiles_per_gaussian: int = 8
     splat_chunk: int = 16        # splats blended per vectorized step in the Pallas kernel
 
     # --- capacity management (DESIGN.md §1) ---

@@ -1,29 +1,44 @@
 """Pallas tile-blending kernels: the TPU equivalents of renderCUDA
 (forward.cu:321-481) and PerGaussianRenderCUDA (backward.cu:379-597).
 
-Design (DESIGN.md §2): one grid program per image tile of (tile_h, tile_w) =
-(8, 128) pixels — the native f32 VPU register tile — which walks its slice of the
-depth-sorted splat list in fixed-size chunks, DMA'd HBM→VMEM, and alpha-blends
-front-to-back vectorized over all 1024 pixels at once. Splat entries are packed
-rows of a (M, 16) f32 array (x, y, conic A/B/C, opacity, r, g, b).
+Design (DESIGN.md §2, PERF.md): one grid program per image tile of
+(tile_h, tile_w) = (8, 128) pixels — the native f32 VPU register tile — which
+walks its slice of the depth-sorted splat list in CHUNK-entry windows and
+alpha-blends front-to-back vectorized over all 1024 pixels at once.
 
-Forward parity targets: α = min(0.99, opa·exp(power)); skip α < 1/255 or power > 0;
-prospective termination T·(1−α) < 1e-4 marks the pixel done *without* applying the
-splat (forward.cu:431-443); outputs color, final_T, n_contrib (1-based index of the
-last applied splat, counting every splat in the tile's range).
+Memory layout (Mosaic constraints, measured on v5e):
+  * Splat entries live attribute-major in HBM as (SPLAT_ROWS, M_pad) f32 —
+    DMA slices need 128-multiple lane widths and provably aligned offsets.
+  * Tile ranges are NOT re-laid out to chunk boundaries (that pass cost more
+    than the binning sorts): each tile walks the globally chunk-aligned windows
+    [⌊start/CHUNK⌋·CHUNK, …) overlapping its range and masks entries outside
+    [start, start+len). Chunks shared between adjacent tiles are processed by
+    both, masked disjointly.
+  * Per-splat attributes are read via one (SUB, 16) vector load per SUB splats
+    + static-index scalar extracts — dynamic per-splat scalar VMEM loads made
+    the scalar unit the bottleneck (3.8× slower forward).
 
-Backward: back-to-front walk reconstructing the per-pixel transmittance by division
-from final_T (the Inria scheme — no warp shuffles, no checkpointed buckets, no
-atomics; per-entry gradients are written to disjoint slices and reduced per-Gaussian
-outside by a dense gather+sum, replacing backward.cu:585-595's atomicAdd).
-Gradient conventions: true ∂power/∂conic = (−dx²/2, −dx·dy, −dy²/2) (the CUDA code
-folds a factor-2 bookkeeping between kernels; we keep exact math since JAX AD chains
-the conic→cov2D→cov3D backward), and — reference parity — the α = 0.99 cap is NOT
-masked in the gradient (backward.cu:553 uses dL_dG = con_o.w·dL_dα unconditionally).
+Forward parity targets: α = min(0.99, opa·exp(power)); skip α < 1/255 or
+power > 0; prospective termination T·(1−α) < 1e-4 marks the pixel done
+*without* applying the splat (forward.cu:431-443); outputs color, final_T,
+n_contrib (1-based index of the last applied splat within the tile's range).
 
-Grid iteration must be sequential ("arbitrary" dimension semantics): a tile's final
-chunk writes a full CH-row slice whose tail overlaps the next tile's range; the next
-program deterministically overwrites it (single-core v5e; no megacore races).
+Backward: back-to-front walk reconstructing per-pixel transmittance by division
+from final_T (the Inria scheme — no warp shuffles, no atomics). Per-entry
+gradients are ACCUMULATED into a caller-zeroed (SPLAT_ROWS, M_pad) buffer
+(input/output aliased): the sequential grid serializes read-modify-write on
+chunks shared between tiles, and the walk is bounded by max(n_contrib) per tile
+— entries past every pixel's last contributor have zero gradient and are never
+touched. Per-Gaussian reduction happens outside via an inverse-permutation
+gather + reshape-sum (replacing backward.cu:585-595's atomicAdd).
+
+Gradient conventions: true ∂power/∂conic = (−dx²/2, −dx·dy, −dy²/2) (the CUDA
+code folds a factor-2 bookkeeping between kernels; we keep exact math since JAX
+AD chains the conic→cov2D→cov3D backward), and — reference parity — the α=0.99
+cap is NOT masked in the gradient (backward.cu:553).
+
+Grid iteration must be sequential ("arbitrary" dimension semantics): adjacent
+tiles read-modify-write shared boundary chunks of the gradient buffer.
 """
 
 from __future__ import annotations
@@ -39,14 +54,14 @@ from jax.experimental.pallas import tpu as pltpu
 from gaussian_lic_tpu.ops.rasterize_ref import ALPHA_CAP, T_EPS
 from gaussian_lic_tpu.ops.projection import OPACITY_THRESHOLD
 
-# Packed splat row layout (16 f32 per entry; 16-row alignment keeps DMA simple).
+# Packed splat row layout (16 f32 per entry).
 ROW_X, ROW_Y, ROW_A, ROW_B, ROW_C, ROW_OPA, ROW_R, ROW_G, ROW_B2 = range(9)
 SPLAT_ROWS = 16
-# Backward per-entry gradient row layout.
+# Backward per-entry gradient row layout (same positions).
 GROW_X, GROW_Y, GROW_A, GROW_B, GROW_C, GROW_OPA, GROW_R, GROW_G, GROW_B2 = range(9)
 
-CHUNK = 256          # splat entries per DMA
-SUB = 8              # splats per unrolled inner step
+CHUNK = 256          # splat entries per DMA window
+SUB = 8              # splats per vector-loaded block
 
 
 def _interpret() -> bool:
@@ -65,16 +80,20 @@ def _pixel_coords(t, n_tx: int, tile_h: int, tile_w: int):
     return px, py
 
 
-def _splat_scalars(buf, idx, no_color: bool):
-    x = buf[idx, ROW_X]
-    y = buf[idx, ROW_Y]
-    A = buf[idx, ROW_A]
-    B = buf[idx, ROW_B]
-    C = buf[idx, ROW_C]
-    opa = buf[idx, ROW_OPA]
+def _splat_attrs(block, s: int, no_color: bool):
+    """Per-splat attributes from an (SUB, 16) block held in vector registers —
+    static-index scalar extracts (auto-broadcast in VPU arithmetic) instead of
+    nine dynamic scalar VMEM loads per splat (the scalar unit was the
+    bottleneck)."""
+
+    def b(c):
+        return block[s, c]
+
     if no_color:
-        return x, y, A, B, C, opa, None, None, None
-    return x, y, A, B, C, opa, buf[idx, ROW_R], buf[idx, ROW_G], buf[idx, ROW_B2]
+        return (b(ROW_X), b(ROW_Y), b(ROW_A), b(ROW_B), b(ROW_C), b(ROW_OPA),
+                None, None, None)
+    return (b(ROW_X), b(ROW_Y), b(ROW_A), b(ROW_B), b(ROW_C), b(ROW_OPA),
+            b(ROW_R), b(ROW_G), b(ROW_B2))
 
 
 # ---------------------------------------------------------------------------
@@ -85,7 +104,7 @@ def _forward_kernel(
     # scalar prefetch
     starts_ref, lens_ref,
     # inputs
-    splats_ref,                 # (SPLAT_ROWS, M_pad) f32 in HBM/ANY, attribute-major
+    splats_ref,                 # (SPLAT_ROWS, M_pad) f32 in HBM/ANY, attr-major
     # outputs (blocked per tile)
     color_ref,                  # (3, th, tw)
     final_t_ref,                # (th, tw)
@@ -108,46 +127,50 @@ def _forward_kernel(
     done0 = jnp.zeros(shape, jnp.float32)
     last0 = jnp.zeros(shape, jnp.int32)
 
-    n_chunks = pl.cdiv(length, CHUNK)
+    c0 = start // CHUNK
+    n_chunks = pl.cdiv(start + length, CHUNK) - c0
 
     def chunk_body(ci, carry):
         T, Cr, Cg, Cb, done, last = carry
-        # start is CHUNK-aligned (ops.tiles); multiple_of makes it provable
-        chunk_start = pl.multiple_of(start + ci * CHUNK, CHUNK)
+        chunk_start = pl.multiple_of((c0 + ci) * CHUNK, CHUNK)
         copy = pltpu.make_async_copy(
             splats_ref.at[:, pl.ds(chunk_start, CHUNK)], dbuf, sem
         )
         copy.start()
         copy.wait()
-        # row-major view for per-splat dynamic-sublane scalar reads
+        # row-major view for per-splat block loads
         buf[:, :] = dbuf[:, :].T
-        remaining = length - ci * CHUNK  # entries of this chunk inside the range
+        lo = start - chunk_start            # window within this chunk
+        hi = start + length - chunk_start
 
-        def splat_step(j, c):
+        def group_step(g_idx, c):
             T, Cr, Cg, Cb, done, last = c
-            x, y, A, B, Cc, opa, r, g, b = _splat_scalars(buf, j, no_color)
-            in_range = j < remaining
-            dx = x - px
-            dy = y - py
-            power = -0.5 * (A * dx * dx + Cc * dy * dy) - B * dx * dy
-            alpha = jnp.minimum(ALPHA_CAP, opa * jnp.exp(power))
-            contrib = (alpha >= OPACITY_THRESHOLD) & (power <= 0.0) & in_range
-            test_T = T * (1.0 - alpha)
-            would_term = contrib & (test_T < T_EPS)
-            applied = contrib & (done < 0.5) & jnp.logical_not(would_term)
-            done = jnp.maximum(done, would_term.astype(jnp.float32))
-            w = jnp.where(applied, alpha * T, 0.0)
-            if not no_color:
-                Cr = Cr + w * r
-                Cg = Cg + w * g
-                Cb = Cb + w * b
-                pos = ci * CHUNK + j + 1  # 1-based contributor index
-                last = jnp.where(applied, pos, last)
-            T = jnp.where(applied, test_T, T)
+            block = buf[pl.ds(g_idx * SUB, SUB), :]  # (SUB, 16) in vregs
+            for s in range(SUB):
+                x, y, A, B, Cc, opa, r, g, b = _splat_attrs(block, s, no_color)
+                j = g_idx * SUB + s
+                in_window = (j >= lo) & (j < hi)
+                dx = x - px
+                dy = y - py
+                power = -0.5 * (A * dx * dx + Cc * dy * dy) - B * dx * dy
+                alpha = jnp.minimum(ALPHA_CAP, opa * jnp.exp(power))
+                contrib = (alpha >= OPACITY_THRESHOLD) & (power <= 0.0) & in_window
+                test_T = T * (1.0 - alpha)
+                would_term = contrib & (test_T < T_EPS)
+                applied = contrib & (done < 0.5) & jnp.logical_not(would_term)
+                done = jnp.maximum(done, would_term.astype(jnp.float32))
+                w = jnp.where(applied, alpha * T, 0.0)
+                if not no_color:
+                    Cr = Cr + w * r
+                    Cg = Cg + w * g
+                    Cb = Cb + w * b
+                    pos = chunk_start + j - start + 1  # 1-based in-range index
+                    last = jnp.where(applied, pos, last)
+                T = jnp.where(applied, test_T, T)
             return (T, Cr, Cg, Cb, done, last)
 
         def process(c):
-            return jax.lax.fori_loop(0, CHUNK, splat_step, c)
+            return jax.lax.fori_loop(0, CHUNK // SUB, group_step, c)
 
         all_done = jnp.min(done) > 0.5
         return jax.lax.cond(all_done, lambda c: c, process, (T, Cr, Cg, Cb, done, last))
@@ -175,7 +198,7 @@ def _forward_kernel(
 )
 def blend_forward(
     splats: jnp.ndarray,       # (SPLAT_ROWS, M_pad) f32 packed sorted splats
-    tile_starts: jnp.ndarray,  # (T,) int32 — CHUNK-aligned
+    tile_starts: jnp.ndarray,  # (T,) int32 — unaligned entry offsets
     tile_lens: jnp.ndarray,    # (T,) int32
     *,
     n_tx: int,
@@ -236,12 +259,14 @@ def _backward_kernel(
     dl_dcolor_ref,              # (3, th, tw) block
     final_t_ref,                # (th, tw) block
     ncontrib_ref,               # (th, tw) int32 block
+    grads_in_ref,               # (SPLAT_ROWS, M_pad) ANY — aliased with output
     # outputs
-    grads_ref,                  # (SPLAT_ROWS, M_pad) ANY — per-entry grads
+    grads_ref,                  # (SPLAT_ROWS, M_pad) ANY — per-entry grads (accum)
     # scratch
-    dbuf, buf, gbuf, tbuf, sem_in, sem_out,
+    dbuf, buf, gbuf, tbuf, rbuf, sem_in, sem_r, sem_out,
     *, n_tx: int, tile_h: int, tile_w: int,
 ):
+    del grads_in_ref  # same buffer as grads_ref (input/output alias)
     t = pl.program_id(0)
     start = starts_ref[t]
     length = lens_ref[t]
@@ -255,79 +280,102 @@ def _backward_kernel(
     T_init = final_t_ref[:, :]
     S0r = jnp.zeros((tile_h, tile_w), jnp.float32)
 
-    n_chunks = pl.cdiv(length, CHUNK)
+    # Entries past the tile's deepest contributor have zero gradients: bound the
+    # reverse walk at max(n_contrib) (final_T is already the transmittance
+    # there). Untouched chunks keep the caller's zero initialization.
+    nmax = jnp.max(ncontrib)
+    c0 = start // CHUNK
+    n_chunks_eff = pl.cdiv(start + jnp.minimum(nmax, length), CHUNK) - c0
 
     def chunk_body(r, carry):
         T_run, Sr, Sg, Sb = carry
-        ci = n_chunks - 1 - r
-        chunk_start = pl.multiple_of(start + ci * CHUNK, CHUNK)
+        ci = n_chunks_eff - 1 - r
+        chunk_start = pl.multiple_of((c0 + ci) * CHUNK, CHUNK)
         copy = pltpu.make_async_copy(
             splats_ref.at[:, pl.ds(chunk_start, CHUNK)], dbuf, sem_in
         )
+        rcopy = pltpu.make_async_copy(
+            grads_ref.at[:, pl.ds(chunk_start, CHUNK)], rbuf, sem_r
+        )
         copy.start()
+        rcopy.start()
         copy.wait()
         buf[:, :] = dbuf[:, :].T
-        remaining = length - ci * CHUNK
+        lo = start - chunk_start
+        hi = start + length - chunk_start
 
-        def splat_step(jr, c):
+        def group_step(gr, c):
             T_run, Sr, Sg, Sb = c
-            j = CHUNK - 1 - jr
-            x, y, A, B, Cc, opa, rr, gg, bb = _splat_scalars(buf, j, False)
-            in_range = j < remaining
-            dx = x - px
-            dy = y - py
-            power = -0.5 * (A * dx * dx + Cc * dy * dy) - B * dx * dy
-            G = jnp.exp(power)
-            alpha = jnp.minimum(ALPHA_CAP, opa * G)
-            pos = ci * CHUNK + j + 1
-            applied = (
-                (alpha >= OPACITY_THRESHOLD)
-                & (power <= 0.0)
-                & in_range
-                & (pos <= ncontrib)
-            )
-            one_minus = 1.0 - alpha
-            # reconstruct T before this splat (Inria backward walk)
-            T_run = jnp.where(applied, T_run / one_minus, T_run)
-            w = alpha * T_run
-            # per-pixel dL/dalpha = Σc (c·T − S_c/(1−α))·dL_dpix_c
-            dalpha = (
-                (rr * T_run - Sr / one_minus) * dlr
-                + (gg * T_run - Sg / one_minus) * dlg
-                + (bb * T_run - Sb / one_minus) * dlb
-            )
-            dalpha = jnp.where(applied, dalpha, 0.0)
-            wsel = jnp.where(applied, w, 0.0)
-            # color gradients
-            d_r = jnp.sum(wsel * dlr)
-            d_g = jnp.sum(wsel * dlg)
-            d_b = jnp.sum(wsel * dlb)
-            # dα→(opacity, position, conic); α-cap not masked (reference parity)
-            dG_coeff = opa * dalpha
-            d_opa = jnp.sum(G * dalpha)
-            gd = G * dG_coeff
-            d_x = jnp.sum(gd * (-(A * dx + B * dy)))
-            d_y = jnp.sum(gd * (-(Cc * dy + B * dx)))
-            d_A = jnp.sum(gd * (-0.5 * dx * dx))
-            d_B = jnp.sum(gd * (-dx * dy))
-            d_C = jnp.sum(gd * (-0.5 * dy * dy))
-            # update suffix color and store the row
-            Sr = Sr + wsel * rr
-            Sg = Sg + wsel * gg
-            Sb = Sb + wsel * bb
-            # stacked-scalar row store (scatter/.at[].set does not lower in Mosaic;
-            # a (1,16) vector store at a dynamic sublane does)
-            zero = jnp.float32(0.0)
-            row = jnp.stack(
-                [d_x, d_y, d_A, d_B, d_C, d_opa, d_r, d_g, d_b,
-                 zero, zero, zero, zero, zero, zero, zero]
-            )
-            gbuf[pl.ds(j, 1), :] = row[None, :]
+            g_idx = (CHUNK // SUB) - 1 - gr
+            block = buf[pl.ds(g_idx * SUB, SUB), :]  # (SUB, 16) in vregs
+            # deferred reductions: per splat only sublane-reduce (8,128)→(1,128);
+            # the lane reduction is shared per group (9 trees instead of 72)
+            q_parts = [[None] * SUB for _ in range(9)]
+            for sr in range(SUB):
+                s = SUB - 1 - sr  # back-to-front within the group
+                x, y, A, B, Cc, opa, rr, gg, bb = _splat_attrs(block, s, False)
+                j = g_idx * SUB + s
+                in_window = (j >= lo) & (j < hi)
+                dx = x - px
+                dy = y - py
+                power = -0.5 * (A * dx * dx + Cc * dy * dy) - B * dx * dy
+                G = jnp.exp(power)
+                alpha = jnp.minimum(ALPHA_CAP, opa * G)
+                pos = chunk_start + j - start + 1
+                applied = (
+                    (alpha >= OPACITY_THRESHOLD)
+                    & (power <= 0.0)
+                    & in_window
+                    & (pos <= ncontrib)
+                )
+                one_minus = 1.0 - alpha
+                # reconstruct T before this splat (Inria backward walk)
+                T_run = jnp.where(applied, T_run / one_minus, T_run)
+                w = alpha * T_run
+                # per-pixel dL/dalpha = Σc (c·T − S_c/(1−α))·dL_dpix_c
+                dalpha = (
+                    (rr * T_run - Sr / one_minus) * dlr
+                    + (gg * T_run - Sg / one_minus) * dlg
+                    + (bb * T_run - Sb / one_minus) * dlb
+                )
+                dalpha = jnp.where(applied, dalpha, 0.0)
+                wsel = jnp.where(applied, w, 0.0)
+                # dα→(opacity, position, conic); α-cap not masked (ref parity)
+                E = G * dalpha          # = ∂L/∂(opa·G) per pixel
+                gd = opa * E
+                quantities = (
+                    gd * (-(A * dx + B * dy)),   # d_x
+                    gd * (-(Cc * dy + B * dx)),  # d_y
+                    gd * (-0.5 * dx * dx),       # d_A
+                    gd * (-dx * dy),             # d_B
+                    gd * (-0.5 * dy * dy),       # d_C
+                    E,                           # d_opa
+                    wsel * dlr,                  # d_r
+                    wsel * dlg,                  # d_g
+                    wsel * dlb,                  # d_b
+                )
+                for qi in range(9):
+                    q_parts[qi][s] = jnp.sum(quantities[qi], axis=0, keepdims=True)
+                # update suffix color
+                Sr = Sr + wsel * rr
+                Sg = Sg + wsel * gg
+                Sb = Sb + wsel * bb
+            cols = []
+            for qi in range(9):
+                m = jnp.concatenate(q_parts[qi], axis=0)       # (SUB, 128)
+                cols.append(jnp.sum(m, axis=1, keepdims=True))  # (SUB, 1)
+            block_g = jnp.concatenate(
+                cols + [jnp.zeros((SUB, SPLAT_ROWS - 9), jnp.float32)], axis=1
+            )  # (SUB, SPLAT_ROWS): row s = splat s's gradient record
+            gbuf[pl.ds(g_idx * SUB, SUB), :] = block_g
             return (T_run, Sr, Sg, Sb)
 
-        carry = jax.lax.fori_loop(0, CHUNK, splat_step, (T_run, Sr, Sg, Sb))
+        carry = jax.lax.fori_loop(0, CHUNK // SUB, group_step, (T_run, Sr, Sg, Sb))
 
-        tbuf[:, :] = gbuf[:, :].T
+        # accumulate into the shared gradient buffer (sequential grid ⇒ the
+        # read of a boundary chunk sees the neighbor tile's finished writes)
+        rcopy.wait()
+        tbuf[:, :] = gbuf[:, :].T + rbuf[:, :]
         out_copy = pltpu.make_async_copy(
             tbuf, grads_ref.at[:, pl.ds(chunk_start, CHUNK)], sem_out
         )
@@ -335,7 +383,7 @@ def _backward_kernel(
         out_copy.wait()
         return carry
 
-    jax.lax.fori_loop(0, n_chunks, chunk_body, (T_init, S0r, S0r, S0r))
+    jax.lax.fori_loop(0, n_chunks_eff, chunk_body, (T_init, S0r, S0r, S0r))
 
 
 @functools.partial(
@@ -368,6 +416,7 @@ def blend_backward(
             pl.BlockSpec((3, tile_h, tile_w), lambda t, *_: (0, t // n_tx, t % n_tx)),
             pl.BlockSpec((tile_h, tile_w), lambda t, *_: (t // n_tx, t % n_tx)),
             pl.BlockSpec((tile_h, tile_w), lambda t, *_: (t // n_tx, t % n_tx)),
+            pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
@@ -375,10 +424,13 @@ def blend_backward(
             pltpu.VMEM((CHUNK, SPLAT_ROWS), jnp.float32),
             pltpu.VMEM((CHUNK, SPLAT_ROWS), jnp.float32),
             pltpu.VMEM((SPLAT_ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((SPLAT_ROWS, CHUNK), jnp.float32),
+            pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
+    grads_init = jnp.zeros(splats.shape, jnp.float32)
     grads = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
@@ -386,6 +438,8 @@ def blend_backward(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
+        # indices count the scalar-prefetch args too: grads_init is input 6
+        input_output_aliases={6: 0},  # grads_init buffer IS the output
         interpret=_interpret(),
-    )(tile_starts, tile_lens, splats, dl_dcolor, final_t, n_contrib)[0]
+    )(tile_starts, tile_lens, splats, dl_dcolor, final_t, n_contrib, grads_init)[0]
     return grads

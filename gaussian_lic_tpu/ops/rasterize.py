@@ -112,11 +112,12 @@ def _make_blend(n_tx: int, n_ty: int, tile_h: int, tile_w: int, max_total_splats
         color, final_t, n_contrib, splats = _fwd_impl(
             xy, conic, opacity, rgb, sorted_gauss, tile_starts, tile_lens
         )
-        res = (splats, tile_starts, tile_lens, final_t, n_contrib, inv_pos)
+        res = (splats, sorted_gauss, tile_starts, tile_lens, final_t, n_contrib,
+               inv_pos)
         return (color, final_t, n_contrib), res
 
     def blend_bwd(res, cotangents):
-        splats, tile_starts, tile_lens, final_t, n_contrib, inv_pos = res
+        splats, sorted_gauss, tile_starts, tile_lens, final_t, n_contrib, inv_pos = res
         d_color, _d_final_t, _d_ncontrib = cotangents
         # The reference backward likewise consumes only the image gradient
         # (PerGaussianRenderCUDA reads dL_dpixels only, backward.cu:529-536).
@@ -124,22 +125,46 @@ def _make_blend(n_tx: int, n_ty: int, tile_h: int, tile_w: int, max_total_splats
             splats, tile_starts, tile_lens,
             d_color, final_t, n_contrib,
             n_tx=n_tx, n_ty=n_ty, tile_h=tile_h, tile_w=tile_w,
-        ).T  # (M_pad, SPLAT_ROWS)
+        )  # (SPLAT_ROWS, M_pad), attribute-major
         P, K = inv_pos.shape
-        slot_grads = jnp.take(
-            entry_grads, inv_pos.reshape(-1), axis=0,
-            mode="fill", fill_value=0.0,
-        ).reshape(P, K, SPLAT_ROWS)
-        g = jnp.sum(slot_grads, axis=1)  # (P, SPLAT_ROWS)
-        d_xy = jnp.stack([g[:, ROW_X], g[:, ROW_Y]], axis=1)
-        d_conic = jnp.stack([g[:, ROW_A], g[:, ROW_B], g[:, ROW_C]], axis=1)
+        m_pad = entry_grads.shape[1]
+
+        # Per-Gaussian reduction via carry-sort + segmented scan + one row
+        # gather — gathers/scatters keyed per slot are 2.5-4× slower (PERF.md).
+        # 1) group entries by Gaussian id (dead entries carry id P → sort last)
+        outs = jax.lax.sort(
+            (sorted_gauss,) + tuple(entry_grads[i] for i in range(9)), num_keys=1
+        )
+        skey, scols = outs[0], list(outs[1:])
+        # 2) segmented inclusive scan (runs are ≤ K entries → log2(K) steps);
+        #    each Gaussian's total lands on its run's last entry
+        j = 1
+        while j < K:
+            same = jnp.concatenate(
+                [jnp.zeros((j,), bool), skey[j:] == skey[:-j]]
+            )
+            for qi in range(9):
+                shifted = jnp.concatenate(
+                    [jnp.zeros((j,), jnp.float32), scols[qi][:-j]]
+                )
+                scols[qi] = scols[qi] + jnp.where(same, shifted, 0.0)
+            j *= 2
+        # 3) run lengths from the slot table (exact even under budget loss)
+        cnt = jnp.sum((inv_pos < m_pad).astype(jnp.int32), axis=1)  # (P,)
+        off = jnp.cumsum(cnt) - cnt
+        last = jnp.clip(off + cnt - 1, 0, m_pad - 1)
+        stacked = jnp.stack(scols, axis=1)              # (M_pad, 9)
+        g = jnp.take(stacked, last, axis=0, mode="clip")  # (P, 9)
+        g = jnp.where((cnt > 0)[:, None], g, 0.0)
+
+        d_xy = g[:, ROW_X:ROW_Y + 1]
+        d_conic = g[:, ROW_A:ROW_C + 1]
         d_opa = g[:, ROW_OPA]
-        d_rgb = jnp.stack([g[:, ROW_R], g[:, ROW_G], g[:, ROW_B2]], axis=1)
+        d_rgb = g[:, ROW_R:ROW_B2 + 1]
 
         def int_zero(x):
             return np.zeros(x.shape, jax.dtypes.float0)
 
-        m_pad = entry_grads.shape[0]
         return (
             d_xy, d_conic, d_opa, d_rgb,
             int_zero(jnp.zeros(m_pad, jnp.int32)),

@@ -135,7 +135,8 @@ def bin_gaussians(
 
     live = active & (radius > 0.0)
 
-    # --- depth ranks over live Gaussians (two argsorts of P) ---
+    # --- depth ranks over live Gaussians (two argsorts; scatters are ~2× slower
+    # than sorts on TPU — measured, see PERF.md) ---
     d = jnp.where(live, depth, jnp.inf)
     order = jnp.argsort(d)
     rank = jnp.argsort(order).astype(jnp.uint32)  # rank[g] = position in depth order
@@ -204,52 +205,40 @@ def bin_gaussians(
     overflow = truncated + budget_lost
 
     m_eff = min(M, P * K)  # the sorted list can't exceed the slot count
+    M_pad = ((m_eff + align - 1) // align) * align
 
-    # --- inverse permutation: slot → sorted position (second sort) ---
+    # --- inverse permutation: slot → sorted position (a second P·K sort;
+    # measured 2-3× cheaper than the equivalent scatter or the gather-heavy
+    # re-layout alternatives on TPU — see PERF.md) ---
     pos_ids = jnp.arange(P * K, dtype=jnp.int32)
     _, inv_flat = jax.lax.sort((sorted_slots, pos_ids), num_keys=1)
-    # positions beyond the budget (or belonging to dead slots) → sentinel m_eff
     dead = ~slot_valid.reshape(-1)
-    inv_flat = jnp.where(dead | (inv_flat >= m_eff), m_eff, inv_flat)
+    inv_flat = jnp.where(dead | (inv_flat >= m_eff), M_pad, inv_flat)
+    inv_pos = inv_flat.reshape(P, K)
 
-    # --- budget truncation + per-tile ranges ---
+    # --- budget truncation + per-tile ranges (ranges stay UNALIGNED: the blend
+    # kernels walk globally chunk-aligned windows and mask entries outside
+    # [start, start+len), so no re-layout pass is needed) ---
     sorted_keys = sorted_keys[:m_eff]
     sorted_slots = sorted_slots[:m_eff]
     sorted_tiles = (sorted_keys >> RANK_BITS).astype(jnp.int32)
     boundaries = jnp.arange(num_tiles_local + 1, dtype=jnp.int32)
     edges = jnp.searchsorted(sorted_tiles, boundaries, side="left").astype(jnp.int32)
-    raw_starts = edges[:-1]
+    tile_starts = edges[:-1]
     tile_lens = edges[1:] - edges[:-1]
 
-    # --- re-layout to align-padded per-tile ranges ---
-    M_pad = ((m_eff + align - 1) // align) * align + num_tiles_local * align
-    padded_lens = ((tile_lens + align - 1) // align) * align
-    aligned_starts = jnp.concatenate(
-        [jnp.zeros((1,), jnp.int32), jnp.cumsum(padded_lens, dtype=jnp.int32)]
-    )[:-1]
-    entry_pos = jnp.arange(m_eff, dtype=jnp.int32)
-    in_grid = sorted_tiles < num_tiles_local  # INVALID keys decode to ≥ num_tiles
-    safe_tile = jnp.clip(sorted_tiles, 0, num_tiles_local - 1)
-    dest = jnp.where(
-        in_grid,
-        aligned_starts[safe_tile] + entry_pos - raw_starts[safe_tile],
-        M_pad,
+    # dead entries (INVALID keys past num_valid, plus the M_pad round-up tail)
+    # carry sentinel id P → zero splat rows → in-kernel no-ops
+    gauss_raw = jnp.where(
+        sorted_keys != INVALID_KEY, (sorted_slots // K).astype(jnp.int32), P
     )
-    sorted_gauss_raw = (sorted_slots // K).astype(jnp.int32)
-    sorted_gauss = (
-        jnp.full((M_pad,), P, jnp.int32)
-        .at[dest]
-        .set(jnp.where(in_grid, sorted_gauss_raw, P), mode="drop")
+    sorted_gauss = jnp.concatenate(
+        [gauss_raw, jnp.full((M_pad - m_eff,), P, jnp.int32)]
     )
-
-    # slot → aligned position (dead/over-budget → M_pad)
-    dest_ext = jnp.concatenate([dest, jnp.full((1,), M_pad, jnp.int32)])
-    inv_aligned = jnp.take(dest_ext, inv_flat, axis=0)
-    inv_pos = inv_aligned.reshape(P, K)
 
     return Binning(
         sorted_gauss=sorted_gauss,
-        tile_starts=aligned_starts,
+        tile_starts=tile_starts,
         tile_lens=tile_lens,
         inv_pos=inv_pos,
         num_valid=num_valid,

@@ -53,23 +53,17 @@ class TestBinning:
         return cam, proj, opacity, grid, binning
 
     def test_ranges_partition_sorted_list(self, rng):
-        from gaussian_lic_tpu.ops.blend_pallas import CHUNK
-
         _, _, _, grid, b = self._bin(rng)
         starts = np.asarray(b.tile_starts)
         lens = np.asarray(b.tile_lens)
         assert starts[0] == 0
-        # aligned layout: each tile's span is padded to a CHUNK multiple
-        padded = -(-lens // CHUNK) * CHUNK
-        np.testing.assert_array_equal(starts[1:], starts[:-1] + padded[:-1])
+        np.testing.assert_array_equal(starts[1:], starts[:-1] + lens[:-1])
         assert int(np.sum(lens)) == int(b.num_valid)
         assert int(b.num_valid) == int(np.sum(np.asarray(b.tiles_touched)))
-        # padding entries are dead (sentinel id = P)
+        # entries past num_valid (the INVALID tail + round-up pad) are dead
         gauss = np.asarray(b.sorted_gauss)
         P = np.asarray(b.tiles_touched).shape[0]
-        for t in range(grid.num_tiles):
-            pad_seg = gauss[starts[t] + lens[t] : starts[t] + padded[t]]
-            assert np.all(pad_seg == P)
+        assert np.all(gauss[int(b.num_valid):] == P)
 
     def test_depth_sorted_within_tile(self, rng):
         _, proj, _, grid, b = self._bin(rng)
