@@ -199,16 +199,26 @@ def _make_extend_step(intr: Intrinsics, cfg: Params):
 
 
 class MappingEngine:
-    """Host-side streaming driver (the mapping thread, mapping.cpp:124-185)."""
+    """Host-side streaming driver (the mapping thread, mapping.cpp:124-185).
+
+    Pass a `jax.sharding.Mesh` to run every training step tile-band-sharded
+    across the mesh (parallel.sharded) — the single-chip and sharded steps are
+    numerically interchangeable (tests/test_parallel.py)."""
 
     def __init__(self, cfg: Params, result_path: Optional[str] = None,
-                 lpips_path: Optional[str] = None):
+                 lpips_path: Optional[str] = None, mesh=None):
         self.cfg = cfg
         self.intr = Intrinsics(
             width=cfg.width, height=cfg.height,
             fx=cfg.fx, fy=cfg.fy, cx=cfg.cx, cy=cfg.cy,
             znear=cfg.znear, zfar=cfg.zfar,
         )
+        self.mesh = mesh
+        self._sharded_step = None
+        if mesh is not None:
+            from gaussian_lic_tpu.parallel import make_sharded_train_step
+
+            self._sharded_step = make_sharded_train_step(self.intr, cfg, mesh)
         self.result_path = result_path
         self.lpips_path = lpips_path
         self.gm: Optional[GaussianMap] = None
@@ -362,7 +372,7 @@ class MappingEngine:
             opt_list = self.rng.choice(n_kf, size=max_iters, replace=False)
         self.rng.shuffle(opt_list)
 
-        train_step = _make_train_step(self.intr, cfg)
+        train_step = self._sharded_step or _make_train_step(self.intr, cfg)
         updated = 0
         t0 = time.perf_counter()
         for idx in opt_list:
