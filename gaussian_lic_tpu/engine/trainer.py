@@ -85,6 +85,10 @@ def _make_train_step(intr: Intrinsics, cfg: Params):
                 max_total_splats=_splat_budget(gm.capacity, cfg),
             )
             loss = losses.training_loss(out.image, gt, cfg.lambda_dssim)
+            if cfg.lambda_erank > 0:
+                from gaussian_lic_tpu.ops.erank import erank_regularizer
+
+                loss = loss + erank_regularizer(gm2.scaling, cfg.lambda_erank)
             return loss, out
 
         trainable = gm.trainable()

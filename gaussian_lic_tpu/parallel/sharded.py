@@ -177,6 +177,12 @@ def make_sharded_train_step(intr: Intrinsics, cfg: Params, mesh: Mesh,
                 flat = image.reshape(3, -1)
                 image = (exposure[:, :3] @ flat + exposure[:, 3:]).reshape(3, H, W)
             loss = losses.training_loss(image, gt, cfg.lambda_dssim)
+            if cfg.lambda_erank > 0:
+                from gaussian_lic_tpu.ops.erank import erank_regularizer
+
+                # the erank gradient is injected identically on every device;
+                # the psum/n_dev normalization below keeps it at reference scale
+                loss = loss + erank_regularizer(gm2.scaling, cfg.lambda_erank)
             return loss, (visible, overflow)
 
         trainable = gm.trainable()

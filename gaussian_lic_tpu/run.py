@@ -103,9 +103,13 @@ def main(argv: Optional[list] = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__,
                                  formatter_class=argparse.RawDescriptionHelpFormatter)
     src = ap.add_mutually_exclusive_group(required=True)
-    src.add_argument("--input", help="recorded stream directory (frame_*.npz)")
+    src.add_argument("--input", help="recorded stream directory (frame_*.npz) "
+                                     "or a ROS1 .bag with the three topics")
     src.add_argument("--demo", action="store_true",
                      help="synthetic demo sequence (no data needed)")
+    ap.add_argument("--points-topic", default="/points_for_gs")
+    ap.add_argument("--pose-topic", default="/pose_for_gs")
+    ap.add_argument("--image-topic", default="/image_for_gs")
     ap.add_argument("--config", help="reference-schema YAML config")
     ap.add_argument("--preset", choices=("fastlivo", "r3live", "mcd"),
                     help="camera rig preset (config/<preset>.yaml equivalents)")
@@ -150,8 +154,21 @@ def main(argv: Optional[list] = None) -> int:
         engine.opt_state = opt_state
         print(f"resumed from {args.resume}: {int(gm.count)} gaussians")
 
-    frames = _demo_frames(cfg, args.demo_frames) if args.demo else RecordedStream(args.input)
-    run_stream(engine, frames, use_aligner=not args.no_aligner,
+    if args.demo:
+        frames = _demo_frames(cfg, args.demo_frames)
+        use_aligner = not args.no_aligner
+    elif args.input.endswith(".bag"):
+        from gaussian_lic_tpu.io.rosbag import RosbagStream
+
+        # RosbagStream aligns internally (mixed-rate topics)
+        frames = RosbagStream(args.input, points_topic=args.points_topic,
+                              pose_topic=args.pose_topic,
+                              image_topic=args.image_topic)
+        use_aligner = False
+    else:
+        frames = RecordedStream(args.input)
+        use_aligner = not args.no_aligner
+    run_stream(engine, frames, use_aligner=use_aligner,
                verbose=not args.quiet)
 
     results = engine.finalize()
