@@ -130,16 +130,29 @@ def _forward_kernel(
     c0 = start // CHUNK
     n_chunks = pl.cdiv(start + length, CHUNK) - c0
 
+    def dma(ci, slot):
+        chunk_start = pl.multiple_of((c0 + ci) * CHUNK, CHUNK)
+        return pltpu.make_async_copy(
+            splats_ref.at[:, pl.ds(chunk_start, CHUNK)], dbuf.at[slot], sem.at[slot]
+        )
+
+    # double-buffered: prefetch chunk ci+1 while blending chunk ci
+    @pl.when(n_chunks > 0)
+    def _prologue():
+        dma(0, 0).start()
+
     def chunk_body(ci, carry):
         T, Cr, Cg, Cb, done, last = carry
+        slot = jax.lax.rem(ci, 2)
         chunk_start = pl.multiple_of((c0 + ci) * CHUNK, CHUNK)
-        copy = pltpu.make_async_copy(
-            splats_ref.at[:, pl.ds(chunk_start, CHUNK)], dbuf, sem
-        )
-        copy.start()
-        copy.wait()
+        dma(ci, slot).wait()
+
+        @pl.when(ci + 1 < n_chunks)
+        def _prefetch():
+            dma(ci + 1, 1 - slot).start()
+
         # row-major view for per-splat block loads
-        buf[:, :] = dbuf[:, :].T
+        buf[:, :] = dbuf[slot, :, :].T
         lo = start - chunk_start            # window within this chunk
         hi = start + length - chunk_start
 
@@ -226,9 +239,9 @@ def blend_forward(
             pl.BlockSpec((tile_h, tile_w), lambda t, *_: (t // n_tx, t % n_tx)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((SPLAT_ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, SPLAT_ROWS, CHUNK), jnp.float32),
             pltpu.VMEM((CHUNK, SPLAT_ROWS), jnp.float32),
-            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     color, final_t, n_contrib = pl.pallas_call(

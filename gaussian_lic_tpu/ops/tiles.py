@@ -94,6 +94,54 @@ def gaussian_rects(
     return rect_min_x, rect_min_y, rect_max_x, rect_max_y
 
 
+def compute_slot_tiles(
+    xy: jnp.ndarray,       # (P,2)
+    conic: jnp.ndarray,    # (P,3)
+    opacity: jnp.ndarray,  # (P,)
+    radius: jnp.ndarray,   # (P,)
+    live: jnp.ndarray,     # (P,) bool
+    grid: TileGrid,
+    K: int,
+):
+    """Per-slot tile assignment with StopThePop exact culling: slot k of a
+    Gaussian is the k-th tile of its bounding rect in row-major order
+    (duplicateWithKeys' enumeration, rasterizer_impl.cu:59-193), kept only if
+    the max contribution inside the tile can reach the opacity threshold
+    (forward.cu:169-170). Returns (tx, ty, slot_valid, in_rect,
+    (rminy, rmaxy, rect_w)) — all (P, K) except the rect info (P,)."""
+    rminx, rminy, rmaxx, rmaxy = gaussian_rects(xy, radius, grid)
+    rect_w = rmaxx - rminx
+    rect_h = rmaxy - rminy
+    rect_count = rect_w * rect_h
+
+    k = jnp.arange(K, dtype=jnp.int32)[None, :]           # (1, K)
+    safe_w = jnp.maximum(rect_w, 1)[:, None]
+    tile_dx = k % safe_w                                   # (P, K)
+    tile_dy = k // safe_w
+    tx = rminx[:, None] + tile_dx
+    ty = rminy[:, None] + tile_dy
+    in_rect = (k < rect_count[:, None]) & (k < K)
+
+    tile_px_min = jnp.stack(
+        [(tx * grid.tile_w).astype(jnp.float32), (ty * grid.tile_h).astype(jnp.float32)],
+        axis=-1,
+    )
+    tile_px_max = jnp.stack(
+        [((tx + 1) * grid.tile_w - 1).astype(jnp.float32),
+         ((ty + 1) * grid.tile_h - 1).astype(jnp.float32)],
+        axis=-1,
+    )
+    power = max_contrib_power_rect(
+        conic[:, None, :], xy[:, None, :], tile_px_min, tile_px_max
+    )
+    opacity_power_threshold = jnp.log(
+        jnp.maximum(opacity, OPACITY_THRESHOLD) / OPACITY_THRESHOLD
+    )
+    contributes = power <= opacity_power_threshold[:, None]
+    slot_valid = live[:, None] & in_rect & contributes
+    return tx, ty, slot_valid, in_rect, (rminy, rmaxy, rect_w)
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -141,42 +189,14 @@ def bin_gaussians(
     order = jnp.argsort(d)
     rank = jnp.argsort(order).astype(jnp.uint32)  # rank[g] = position in depth order
 
-    # --- per-slot tiles (row-major over each rect) + exact culling ---
-    rminx, rminy, rmaxx, rmaxy = gaussian_rects(xy, radius, grid)
-    rect_w = rmaxx - rminx
-    rect_h = rmaxy - rminy
-    rect_count = rect_w * rect_h
-
-    k = jnp.arange(K, dtype=jnp.int32)[None, :]           # (1, K)
-    safe_w = jnp.maximum(rect_w, 1)[:, None]
-    tile_dx = k % safe_w                                   # (P, K)
-    tile_dy = k // safe_w
-    tx = rminx[:, None] + tile_dx
-    ty = rminy[:, None] + tile_dy
-    in_rect = (k < rect_count[:, None]) & (k < K)
-
-    # StopThePop exact tile culling: keep a tile only if the max contribution
-    # inside it can reach the opacity threshold (forward.cu:169-170).
-    tile_px_min = jnp.stack(
-        [(tx * grid.tile_w).astype(jnp.float32), (ty * grid.tile_h).astype(jnp.float32)],
-        axis=-1,
+    tx, ty, slot_valid_noband, in_rect, rect_info = compute_slot_tiles(
+        xy, conic, opacity, radius, live, grid, K
     )
-    tile_px_max = jnp.stack(
-        [((tx + 1) * grid.tile_w - 1).astype(jnp.float32),
-         ((ty + 1) * grid.tile_h - 1).astype(jnp.float32)],
-        axis=-1,
-    )
-    power = max_contrib_power_rect(
-        conic[:, None, :], xy[:, None, :], tile_px_min, tile_px_max
-    )
-    opacity_power_threshold = jnp.log(
-        jnp.maximum(opacity, OPACITY_THRESHOLD) / OPACITY_THRESHOLD
-    )
-    contributes = power <= opacity_power_threshold[:, None]
+    rminy, rmaxy, rect_w = rect_info
 
     ty_local = ty - band_ty0
     in_band = (ty_local >= 0) & (ty_local < n_ty_local)
-    slot_valid = live[:, None] & in_rect & contributes & in_band  # (P, K)
+    slot_valid = slot_valid_noband & in_band  # (P, K)
     tiles_touched = jnp.sum(slot_valid, axis=1).astype(jnp.int32)
 
     # --- keys & sort --- (band-local tile ids; dead slots masked before the cast)

@@ -6,10 +6,16 @@ design. The natural decomposition for tiled 3DGS rasterization on a TPU pod slic
 
   * **Tile-row sharding (spatial parallel)** — the hot work is the per-tile alpha
     blend (O(splats·pixels), renderCUDA's analogue). The tile grid is split into
-    `n_ty / D` horizontal bands, one per device; each device bins and blends only
-    its band's splats (band-aware `ops.tiles.bin_gaussians`), then the band images
-    are stitched with one `all_gather` over ICI (a few MB — trivial next to the
-    blend FLOPs it parallelizes).
+    `n_ty / D` horizontal bands, one per device; each device blends only its
+    band's splats, then the band images are stitched with one `all_gather` over
+    ICI (a few MB — trivial next to the blend FLOPs it parallelizes).
+  * **Distributed binning (all_to_all)** — the sorted splat list is built
+    cooperatively (`bin_gaussians_sharded`): each device enumerates and
+    exact-culls slots for a P/D Gaussian shard, one local sort groups them by
+    destination band, fixed-size buckets ride an `all_to_all` over ICI, and
+    each band owner merges its D incoming streams with a small sort. Per-device
+    sort volume drops from P·K to P·K/D + band size — binning scales with the
+    mesh instead of being replicated.
   * **Replicated preprocess** — projection/EWA/SH is O(P) elementwise with ~200
     flops/Gaussian, orders of magnitude below the blend; replicating it avoids an
     all-gather of per-Gaussian intermediates and keeps the backward local.
@@ -63,6 +69,120 @@ def make_mesh(n_devices: Optional[int] = None, axis_name: str = AXIS_TILES) -> M
     return Mesh(np.asarray(devs[:n]), (axis_name,))
 
 
+def bin_gaussians_sharded(
+    xy, depth, conic, opacity, radius, active,
+    grid: tiles_ops.TileGrid,
+    *,
+    axis_name: str,
+    n_dev: int,
+    band_n_ty: int,
+    max_tiles_per_gaussian: int,
+    m_pair: int,             # per (source, band) bucket budget
+    align: int,
+):
+    """Distributed tile binning inside shard_map — the ICI-native replacement
+    for running the full P·K sort replicated on every device:
+
+      1. each device enumerates + exact-culls slots for its P/D Gaussian shard
+         (ops.tiles.compute_slot_tiles) across ALL bands;
+      2. one local sort groups them by (destination band, tile, depth rank);
+      3. an `all_to_all` routes fixed-size per-band buckets over ICI;
+      4. the band owner merges its D incoming streams with one small sort.
+
+    Per-device sort volume drops from P·K to P·K/D + D·m_pair. Returns
+    band-local (sorted_gauss, tile_starts, tile_lens, inv_mask, num_valid,
+    overflow) where inv_mask (P, K) is 0 for slots present in THIS band's list
+    and M_pad otherwise (the blend backward only uses it for per-Gaussian
+    entry counts)."""
+    P = xy.shape[0]
+    K = max_tiles_per_gaussian
+    assert P % n_dev == 0, "Gaussian capacity must divide the mesh"
+    shard = P // n_dev
+    num_tiles_local = band_n_ty * grid.n_tx
+    dev = lax.axis_index(axis_name)
+    g0 = (dev * shard).astype(jnp.int32)
+
+    live_all = active & (radius > 0.0)
+    # global depth ranks on the replicated arrays (argsorts of P are cheap)
+    d = jnp.where(live_all, depth, jnp.inf)
+    order = jnp.argsort(d)
+    rank = jnp.argsort(order).astype(jnp.uint32)
+
+    sl = lambda a: lax.dynamic_slice_in_dim(a, g0, shard, axis=0)
+    xy_s, conic_s, opa_s, rad_s = sl(xy), sl(conic), sl(opacity), sl(radius)
+    live_s, rank_s = sl(live_all), sl(rank)
+
+    tx, ty, slot_valid, _in_rect, _rect = tiles_ops.compute_slot_tiles(
+        xy_s, conic_s, opa_s, rad_s, live_s, grid, K
+    )
+    band = jnp.clip(ty // band_n_ty, 0, n_dev - 1)
+    ty_local = ty - band * band_n_ty
+    tile_local = (ty_local * grid.n_tx + tx).astype(jnp.uint32)
+    packed = jnp.where(
+        slot_valid,
+        (tile_local << tiles_ops.RANK_BITS) | rank_s[:, None],
+        tiles_ops.INVALID_KEY,
+    ).reshape(-1)
+    band_key = jnp.where(slot_valid, band, n_dev).astype(jnp.uint32).reshape(-1)
+    gauss = g0 + jax.lax.broadcasted_iota(jnp.int32, (shard, K), 0)
+    slot_global = (gauss * K
+                   + jax.lax.broadcasted_iota(jnp.int32, (shard, K), 1)).reshape(-1)
+
+    # local sort groups by destination band (then tile, then depth)
+    bk, pk, sk = jax.lax.sort((band_key, packed, slot_global), num_keys=2)
+
+    # fixed-size per-band buckets (gather formulation; the q-side is tiny)
+    edges = jnp.searchsorted(
+        bk, jnp.arange(n_dev + 1, dtype=jnp.uint32), side="left"
+    ).astype(jnp.int32)
+    q = jnp.arange(n_dev * m_pair, dtype=jnp.int32)
+    b_of_q = q // m_pair
+    off = q - b_of_q * m_pair
+    seg_len = edges[b_of_q + 1] - edges[b_of_q]
+    valid_q = off < seg_len
+    src = jnp.clip(edges[b_of_q] + off, 0, shard * K - 1)
+    send_keys = jnp.where(valid_q, pk[src], tiles_ops.INVALID_KEY)
+    send_slots = jnp.where(valid_q, sk[src], -1)
+    band_lens = edges[1:] - edges[:-1]
+    bucket_overflow = jnp.sum(jnp.maximum(band_lens - m_pair, 0))
+
+    # route buckets to their band owners over ICI
+    recv_keys = lax.all_to_all(
+        send_keys.reshape(n_dev, m_pair), axis_name, split_axis=0, concat_axis=0
+    ).reshape(-1)
+    recv_slots = lax.all_to_all(
+        send_slots.reshape(n_dev, m_pair), axis_name, split_axis=0, concat_axis=0
+    ).reshape(-1)
+
+    # merge the D sorted streams for MY band
+    fk, fs = jax.lax.sort((recv_keys, recv_slots), num_keys=1)
+    m_eff = n_dev * m_pair
+    M_pad = ((m_eff + align - 1) // align) * align
+    present = fk != tiles_ops.INVALID_KEY
+    gauss_raw = jnp.where(present, fs // K, P).astype(jnp.int32)
+    sorted_gauss = jnp.concatenate(
+        [gauss_raw, jnp.full((M_pad - m_eff,), P, jnp.int32)]
+    )
+    sorted_tiles = (fk >> tiles_ops.RANK_BITS).astype(jnp.int32)
+    boundaries = jnp.arange(num_tiles_local + 1, dtype=jnp.int32)
+    e2 = jnp.searchsorted(sorted_tiles, boundaries, side="left").astype(jnp.int32)
+    tile_starts = e2[:-1]
+    tile_lens = e2[1:] - e2[:-1]
+
+    # per-Gaussian entry counts for the backward's carry-sort reduction:
+    # mark slots present in MY band's list (one small scatter of M/D entries)
+    slot_present = (
+        jnp.zeros((P * K,), jnp.bool_)
+        .at[jnp.where(present, fs, P * K)]
+        .set(True, mode="drop", unique_indices=True)
+    )
+    inv_mask = jnp.where(slot_present, 0, M_pad).reshape(P, K).astype(jnp.int32)
+
+    num_valid = jnp.sum(present.astype(jnp.int32))
+    # bucket_overflow is this device's SEND-side loss; callers psum over the mesh
+    return sorted_gauss, tile_starts, tile_lens, inv_mask, num_valid, bucket_overflow
+
+
 def render_band(
     xyz: jnp.ndarray,
     scale: jnp.ndarray,
@@ -80,11 +200,15 @@ def render_band(
     tile_w: int,
     max_tiles_per_gaussian: int,
     max_total_splats: int,   # per-band splat budget
+    axis_name: Optional[str] = None,   # set → distributed binning over the mesh
+    n_dev: int = 1,
 ):
     """Per-device differentiable render of one horizontal band of tile rows.
 
     Returns (color (3, band_n_ty·tile_h, Wp), final_T, visible (P,), overflow ()).
-    Same math as ops.rasterize.render_tiled restricted to the band.
+    Same math as ops.rasterize.render_tiled restricted to the band. With
+    `axis_name` set, binning runs distributed (Gaussian-sharded slot generation
+    + all_to_all band routing) instead of replicated per device.
     """
     intr = camera.intr
     grid = tiles_ops.TileGrid(
@@ -102,28 +226,45 @@ def render_band(
     rgb = sh_ops.eval_sh_color(sh_degree, dc, sh_rest, dirs)
 
     sg = lax.stop_gradient
-    binning = tiles_ops.bin_gaussians(
-        sg(proj.xy), sg(proj.depth), sg(proj.conic), sg(opacity), sg(radius),
-        base_active, grid,
-        max_tiles_per_gaussian=max_tiles_per_gaussian,
-        max_total_splats=max_total_splats,
-        band_ty0=sg(band_ty0),
-        band_n_ty=band_n_ty,
-        align=CHUNK,
-    )
+    if axis_name is not None and n_dev > 1:
+        m_pair = max(-(-2 * max_total_splats // n_dev) // 256 * 256, 512)
+        (sorted_gauss, tile_starts, tile_lens, inv_mask, _num_valid,
+         overflow) = bin_gaussians_sharded(
+            sg(proj.xy), sg(proj.depth), sg(proj.conic), sg(opacity), sg(radius),
+            base_active, grid,
+            axis_name=axis_name, n_dev=n_dev, band_n_ty=band_n_ty,
+            max_tiles_per_gaussian=max_tiles_per_gaussian,
+            m_pair=m_pair, align=CHUNK,
+        )
+        m_list = n_dev * m_pair
+    else:
+        binning = tiles_ops.bin_gaussians(
+            sg(proj.xy), sg(proj.depth), sg(proj.conic), sg(opacity), sg(radius),
+            base_active, grid,
+            max_tiles_per_gaussian=max_tiles_per_gaussian,
+            max_total_splats=max_total_splats,
+            band_ty0=sg(band_ty0),
+            band_n_ty=band_n_ty,
+            align=CHUNK,
+        )
+        sorted_gauss, tile_starts, tile_lens = (
+            binning.sorted_gauss, binning.tile_starts, binning.tile_lens
+        )
+        inv_mask, overflow = binning.inv_pos, binning.overflow
+        m_list = max_total_splats
     # The blend kernel derives pixel coords from band-local tile indices; shift
     # splat y into band-local pixel space (a constant shift — gradient-transparent).
     y_off = (band_ty0 * tile_h).astype(jnp.float32)
     xy_local = proj.xy - jnp.stack(
         [jnp.zeros((), jnp.float32), y_off]
     )[None, :]
-    blend = _make_blend(grid.n_tx, band_n_ty, tile_h, tile_w, max_total_splats)
+    blend = _make_blend(grid.n_tx, band_n_ty, tile_h, tile_w, m_list)
     color, final_t, _n_contrib = blend(
         xy_local, proj.conic, opacity, rgb,
-        binning.sorted_gauss, binning.tile_starts, binning.tile_lens,
-        binning.inv_pos,
+        sorted_gauss, tile_starts, tile_lens,
+        inv_mask,
     )
-    return color, final_t, visible, binning.overflow
+    return color, final_t, visible, overflow
 
 
 def _band_geometry(intr: Intrinsics, cfg: Params, n_dev: int):
@@ -169,6 +310,7 @@ def make_sharded_train_step(intr: Intrinsics, cfg: Params, mesh: Mesh,
                 tile_h=cfg.tile_h, tile_w=cfg.tile_w,
                 max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
                 max_total_splats=m_local,
+                axis_name=axis_name, n_dev=n_dev,
             )
             img = lax.all_gather(color_l, axis_name, axis=1, tiled=True)
             image = img[:, :H, :W]
@@ -256,6 +398,7 @@ def make_sharded_render(intr: Intrinsics, cfg: Params, mesh: Mesh,
             tile_h=cfg.tile_h, tile_w=cfg.tile_w,
             max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
             max_total_splats=m_local,
+            axis_name=axis_name, n_dev=n_dev,
         )
         img = lax.all_gather(color_l, axis_name, axis=1, tiled=True)[:, :H, :W]
         ft = lax.all_gather(final_t_l, axis_name, axis=0, tiled=True)[:H, :W]
