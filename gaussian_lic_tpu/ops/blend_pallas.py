@@ -80,14 +80,14 @@ def _pixel_coords(t, n_tx: int, tile_h: int, tile_w: int):
     return px, py
 
 
-def _splat_attrs(block, s: int, no_color: bool):
-    """Per-splat attributes from an (SUB, 16) block held in vector registers —
-    static-index scalar extracts (auto-broadcast in VPU arithmetic) instead of
-    nine dynamic scalar VMEM loads per splat (the scalar unit was the
-    bottleneck)."""
+def _splat_attrs(row, s: int, no_color: bool):
+    """Per-splat attributes from a (1, SUB·16) group row held in vector
+    registers — static-index scalar extracts (auto-broadcast in VPU arithmetic)
+    instead of nine dynamic scalar VMEM loads per splat (the scalar unit was
+    the bottleneck). Splat s of the group lives at lanes [s·16, s·16+16)."""
 
     def b(c):
-        return block[s, c]
+        return row[0, s * SPLAT_ROWS + c]
 
     if no_color:
         return (b(ROW_X), b(ROW_Y), b(ROW_A), b(ROW_B), b(ROW_C), b(ROW_OPA),
@@ -104,13 +104,13 @@ def _forward_kernel(
     # scalar prefetch
     starts_ref, lens_ref,
     # inputs
-    splats_ref,                 # (SPLAT_ROWS, M_pad) f32 in HBM/ANY, attr-major
+    splats_ref,                 # (M_pad//SUB, SUB*16) f32 in HBM/ANY, packed rows
     # outputs (blocked per tile)
     color_ref,                  # (3, th, tw)
     final_t_ref,                # (th, tw)
     ncontrib_ref,               # (th, tw) int32
     # scratch
-    dbuf, buf, sem,
+    dbuf, sem,
     *, n_tx: int, tile_h: int, tile_w: int, no_color: bool,
 ):
     t = pl.program_id(0)
@@ -130,10 +130,13 @@ def _forward_kernel(
     c0 = start // CHUNK
     n_chunks = pl.cdiv(start + length, CHUNK) - c0
 
+    rows_per_chunk = CHUNK // SUB
+
     def dma(ci, slot):
-        chunk_start = pl.multiple_of((c0 + ci) * CHUNK, CHUNK)
+        row_start = (c0 + ci) * rows_per_chunk
         return pltpu.make_async_copy(
-            splats_ref.at[:, pl.ds(chunk_start, CHUNK)], dbuf.at[slot], sem.at[slot]
+            splats_ref.at[pl.ds(row_start, rows_per_chunk), :],
+            dbuf.at[slot], sem.at[slot],
         )
 
     # double-buffered: prefetch chunk ci+1 while blending chunk ci
@@ -151,14 +154,13 @@ def _forward_kernel(
         def _prefetch():
             dma(ci + 1, 1 - slot).start()
 
-        # row-major view for per-splat block loads
-        buf[:, :] = dbuf[slot, :, :].T
         lo = start - chunk_start            # window within this chunk
         hi = start + length - chunk_start
 
         def group_step(g_idx, c):
             T, Cr, Cg, Cb, done, last = c
-            block = buf[pl.ds(g_idx * SUB, SUB), :]  # (SUB, 16) in vregs
+            # one (1, SUB*16) packed group row per SUB splats, no transposes
+            block = dbuf[pl.ds(slot, 1), pl.ds(g_idx, 1), :][0]
             for s in range(SUB):
                 x, y, A, B, Cc, opa, r, g, b = _splat_attrs(block, s, no_color)
                 j = g_idx * SUB + s
@@ -210,7 +212,7 @@ def _forward_kernel(
     static_argnames=("n_tx", "n_ty", "tile_h", "tile_w", "no_color"),
 )
 def blend_forward(
-    splats: jnp.ndarray,       # (SPLAT_ROWS, M_pad) f32 packed sorted splats
+    splats: jnp.ndarray,       # (M_pad//SUB, SUB*16) f32 packed sorted splats
     tile_starts: jnp.ndarray,  # (T,) int32 — unaligned entry offsets
     tile_lens: jnp.ndarray,    # (T,) int32
     *,
@@ -239,8 +241,7 @@ def blend_forward(
             pl.BlockSpec((tile_h, tile_w), lambda t, *_: (t // n_tx, t % n_tx)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, SPLAT_ROWS, CHUNK), jnp.float32),
-            pltpu.VMEM((CHUNK, SPLAT_ROWS), jnp.float32),
+            pltpu.VMEM((2, CHUNK // SUB, SUB * SPLAT_ROWS), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -268,7 +269,7 @@ def _backward_kernel(
     # scalar prefetch
     starts_ref, lens_ref,
     # inputs
-    splats_ref,                 # (SPLAT_ROWS, M_pad) ANY, attribute-major
+    splats_ref,                 # (M_pad//SUB, SUB*16) ANY, packed rows
     dl_dcolor_ref,              # (3, th, tw) block
     final_t_ref,                # (th, tw) block
     ncontrib_ref,               # (th, tw) int32 block
@@ -276,7 +277,7 @@ def _backward_kernel(
     # outputs
     grads_ref,                  # (SPLAT_ROWS, M_pad) ANY — per-entry grads (accum)
     # scratch
-    dbuf, buf, gbuf, tbuf, rbuf, sem_in, sem_r, sem_out,
+    dbuf, gbuf, tbuf, rbuf, sem_in, sem_r, sem_out,
     *, n_tx: int, tile_h: int, tile_w: int,
 ):
     del grads_in_ref  # same buffer as grads_ref (input/output alias)
@@ -305,7 +306,8 @@ def _backward_kernel(
         ci = n_chunks_eff - 1 - r
         chunk_start = pl.multiple_of((c0 + ci) * CHUNK, CHUNK)
         copy = pltpu.make_async_copy(
-            splats_ref.at[:, pl.ds(chunk_start, CHUNK)], dbuf, sem_in
+            splats_ref.at[pl.ds((c0 + ci) * (CHUNK // SUB), CHUNK // SUB), :],
+            dbuf, sem_in,
         )
         rcopy = pltpu.make_async_copy(
             grads_ref.at[:, pl.ds(chunk_start, CHUNK)], rbuf, sem_r
@@ -313,14 +315,13 @@ def _backward_kernel(
         copy.start()
         rcopy.start()
         copy.wait()
-        buf[:, :] = dbuf[:, :].T
         lo = start - chunk_start
         hi = start + length - chunk_start
 
         def group_step(gr, c):
             T_run, Sr, Sg, Sb = c
             g_idx = (CHUNK // SUB) - 1 - gr
-            block = buf[pl.ds(g_idx * SUB, SUB), :]  # (SUB, 16) in vregs
+            block = dbuf[pl.ds(g_idx, 1), :]  # (1, SUB*16) packed group row
             # deferred reductions: per splat only sublane-reduce (8,128)→(1,128);
             # the lane reduction is shared per group (9 trees instead of 72)
             q_parts = [[None] * SUB for _ in range(9)]
@@ -404,7 +405,7 @@ def _backward_kernel(
     static_argnames=("n_tx", "n_ty", "tile_h", "tile_w"),
 )
 def blend_backward(
-    splats: jnp.ndarray,       # (SPLAT_ROWS, M_pad)
+    splats: jnp.ndarray,       # (M_pad//SUB, SUB*16) packed rows
     tile_starts: jnp.ndarray,
     tile_lens: jnp.ndarray,
     dl_dcolor: jnp.ndarray,    # (3, Hp, Wp)
@@ -433,8 +434,7 @@ def blend_backward(
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((SPLAT_ROWS, CHUNK), jnp.float32),
-            pltpu.VMEM((CHUNK, SPLAT_ROWS), jnp.float32),
+            pltpu.VMEM((CHUNK // SUB, SUB * SPLAT_ROWS), jnp.float32),
             pltpu.VMEM((CHUNK, SPLAT_ROWS), jnp.float32),
             pltpu.VMEM((SPLAT_ROWS, CHUNK), jnp.float32),
             pltpu.VMEM((SPLAT_ROWS, CHUNK), jnp.float32),
@@ -443,11 +443,12 @@ def blend_backward(
             pltpu.SemaphoreType.DMA,
         ],
     )
-    grads_init = jnp.zeros(splats.shape, jnp.float32)
+    m_pad = splats.shape[0] * SUB
+    grads_init = jnp.zeros((SPLAT_ROWS, m_pad), jnp.float32)
     grads = pl.pallas_call(
         kernel,
         grid_spec=grid_spec,
-        out_shape=[jax.ShapeDtypeStruct(splats.shape, jnp.float32)],
+        out_shape=[jax.ShapeDtypeStruct((SPLAT_ROWS, m_pad), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),

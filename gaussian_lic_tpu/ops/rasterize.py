@@ -35,6 +35,7 @@ from gaussian_lic_tpu.ops import sh as sh_ops
 from gaussian_lic_tpu.ops import tiles as tiles_ops
 from gaussian_lic_tpu.ops.blend_pallas import (
     CHUNK,
+    SUB,
     ROW_A,
     ROW_B,
     ROW_B2,
@@ -90,11 +91,13 @@ def _make_blend(n_tx: int, n_ty: int, tile_h: int, tile_w: int, max_total_splats
 
     def _fwd_impl(xy, conic, opacity, rgb, sorted_gauss, tile_starts, tile_lens):
         rows = _pack_rows(xy, conic, opacity, rgb)
-        # dead entries (sentinel id = P) → zero rows → alpha 0 → skipped in-kernel;
-        # attribute-major layout for 128-lane-aligned DMA slices
+        # dead entries (sentinel id = P) → zero rows → alpha 0 → skipped
+        # in-kernel; the (M_pad//SUB, SUB·16) packed-row view is a free bitcast
+        # reshape and gives the kernels 128-lane DMA rows with no transposes
+        m_pad = sorted_gauss.shape[0]
         splats = jnp.take(
             rows, sorted_gauss, axis=0, mode="fill", fill_value=0.0
-        ).T  # (SPLAT_ROWS, M_pad)
+        ).reshape(m_pad // SUB, SUB * SPLAT_ROWS)
         color, final_t, n_contrib = blend_forward(
             splats, tile_starts, tile_lens,
             n_tx=n_tx, n_ty=n_ty, tile_h=tile_h, tile_w=tile_w,
@@ -127,7 +130,7 @@ def _make_blend(n_tx: int, n_ty: int, tile_h: int, tile_w: int, max_total_splats
             n_tx=n_tx, n_ty=n_ty, tile_h=tile_h, tile_w=tile_w,
         )  # (SPLAT_ROWS, M_pad), attribute-major
         P, K = inv_pos.shape
-        m_pad = entry_grads.shape[1]
+        m_pad = sorted_gauss.shape[0]
 
         # Per-Gaussian reduction via carry-sort + segmented scan + one row
         # gather — gathers/scatters keyed per slot are 2.5-4× slower (PERF.md).
@@ -233,9 +236,10 @@ def render_tiled(
     if no_color:
         # alpha-only pass (extend(), gaussian.cpp:505-507) — no gradients needed
         rows = _pack_rows(sg(proj.xy), sg(proj.conic), sg(opacity), rgb)
+        m_pad = binning.sorted_gauss.shape[0]
         splats = jnp.take(
             rows, binning.sorted_gauss, axis=0, mode="fill", fill_value=0.0
-        ).T
+        ).reshape(m_pad // SUB, SUB * SPLAT_ROWS)
         color_p, final_t_p, ncontrib_p = blend_forward(
             splats, binning.tile_starts, binning.tile_lens,
             n_tx=grid.n_tx, n_ty=grid.n_ty, tile_h=tile_h, tile_w=tile_w,

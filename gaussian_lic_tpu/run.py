@@ -124,6 +124,9 @@ def main(argv: Optional[list] = None) -> int:
                     help="override max train iters per keyframe")
     ap.add_argument("--no-aligner", action="store_true",
                     help="bypass the stream aligner (frames are pre-aligned)")
+    ap.add_argument("--profile", metavar="DIR",
+                    help="write a jax.profiler trace of the run to DIR "
+                         "(the TPU equivalent of the reference's phase timers)")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
 
@@ -168,8 +171,19 @@ def main(argv: Optional[list] = None) -> int:
     else:
         frames = RecordedStream(args.input)
         use_aligner = not args.no_aligner
-    run_stream(engine, frames, use_aligner=use_aligner,
-               verbose=not args.quiet)
+    if args.profile:
+        import jax
+
+        jax.profiler.start_trace(args.profile)
+    try:
+        run_stream(engine, frames, use_aligner=use_aligner,
+                   verbose=not args.quiet)
+    finally:
+        if args.profile:
+            import jax
+
+            jax.profiler.stop_trace()
+            print(f"profiler trace written to {args.profile}")
 
     results = engine.finalize()
     if results:
