@@ -124,3 +124,32 @@ class TestShardedTrainStep:
             )
             losses_seen.append(float(m["loss"]))
         assert losses_seen[-1] < losses_seen[0]
+
+
+class TestEngineWithMesh:
+    def test_streaming_engine_sharded(self):
+        """Full MappingEngine flow with a mesh: quality must match the
+        single-chip engine run on the same sequence."""
+        from gaussian_lic_tpu.engine.trainer import MappingEngine
+        from gaussian_lic_tpu.utils.synthetic import make_sequence, make_world
+
+        cfg = Params(
+            width=128, height=64, fx=60.0, fy=60.0, cx=64.0, cy=32.0,
+            skybox_points_num=0, initial_capacity=2048, densify_budget=512,
+            max_train_keyframes=8, max_iters_per_keyframe=6,
+        )
+        rng = np.random.default_rng(11)
+        world = make_world(rng, n_points=250)
+        frames = make_sequence(world, n_frames=10, points_per_frame=100, rng=rng)
+
+        eng1 = MappingEngine(cfg)
+        eng8 = MappingEngine(cfg, mesh=make_mesh(8))
+        for f in frames:
+            eng1.add_frame(f)
+            eng8.add_frame(f)
+        r1 = eng1.finalize()
+        r8 = eng8.finalize()
+        assert int(eng1.gm.count) == int(eng8.gm.count)
+        # identical math up to reduction order → near-identical quality
+        assert abs(r1["train_psnr"] - r8["train_psnr"]) < 0.1
+        assert r8["train_psnr"] > 14.0
