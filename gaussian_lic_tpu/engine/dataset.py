@@ -14,7 +14,7 @@ densification, which clear them (gaussian.cpp:301-303, 635-637).
 from __future__ import annotations
 
 from dataclasses import dataclass, field
-from typing import List, Optional
+from typing import List
 
 import jax.numpy as jnp
 import numpy as np
@@ -88,6 +88,23 @@ class KeyframeBuffer:
             intr=intr,
             pose=CameraPose(R_cw=self.R_cw[idx], t_cw=self.t_cw[idx]),
             full_proj=self.full_proj[idx],
+        )
+
+    def grow(self, new_capacity: int) -> "KeyframeBuffer":
+        """Capacity-double the stacked buffers (train step recompiles once at
+        the new shape — the streaming answer to an unbounded keyframe list)."""
+        cap = self.images.shape[0]
+        assert new_capacity >= cap
+        extra = new_capacity - cap
+
+        def pad(x):
+            return jnp.concatenate(
+                [x, jnp.zeros((extra,) + x.shape[1:], x.dtype)], axis=0
+            )
+
+        return KeyframeBuffer(
+            R_cw=pad(self.R_cw), t_cw=pad(self.t_cw),
+            full_proj=pad(self.full_proj), images=pad(self.images),
         )
 
 

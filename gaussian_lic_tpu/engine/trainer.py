@@ -23,8 +23,8 @@ from __future__ import annotations
 
 import functools
 import time
-from dataclasses import dataclass, field
-from typing import Dict, List, Optional, Tuple
+from dataclasses import dataclass
+from typing import Dict, List, Optional
 
 import jax
 import jax.numpy as jnp
@@ -266,11 +266,13 @@ class MappingEngine:
 
         # --- keyframe path ---
         cam = build_camera(self.intr, frame)
-        if self.kf_count >= self.cfg.max_train_keyframes:
-            raise RuntimeError(
-                f"keyframe buffer full ({self.cfg.max_train_keyframes}); "
-                "raise Params.max_train_keyframes"
+        if self.kf_count >= self.kf_buffer.images.shape[0]:
+            # capacity-double the device keyframe buffer (one recompile of the
+            # train step at the new shape, like GaussianMap.grow)
+            self.kf_buffer = self.kf_buffer.grow(
+                2 * self.kf_buffer.images.shape[0]
             )
+            self.timers.compiles += 1
         self.kf_buffer = self.kf_buffer.set_frame(self.kf_count, cam, frame.image_u8())
         kf_idx = self.kf_count
         self.kf_count += 1
@@ -377,7 +379,7 @@ class MappingEngine:
         self.rng.shuffle(opt_list)
 
         train_step = self._sharded_step or _make_train_step(self.intr, cfg)
-        updated = 0
+        visible_counts = []
         t0 = time.perf_counter()
         for idx in opt_list:
             self.exposure_steps += 1
@@ -386,9 +388,12 @@ class MappingEngine:
                 jnp.asarray(int(idx), jnp.int32),
                 jnp.asarray(self.exposure_steps, jnp.int32),
             )
-            updated += int(metrics["n_visible"])
+            # keep metrics on device: a host read here would sync every step
+            # and serialize dispatch with execution (≥1 RTT per iteration)
+            visible_counts.append(metrics["n_visible"])
         jax.block_until_ready(self.gm.xyz)
         self.timers.optimize_steps += time.perf_counter() - t0
+        updated = sum(int(v) for v in visible_counts)
         self.last_metrics = {k: float(v) for k, v in metrics.items()}
         return updated / max(len(opt_list), 1)
 

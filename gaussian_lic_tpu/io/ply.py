@@ -12,7 +12,6 @@ the loader the reference lacks (SURVEY.md §5 checkpoint/resume gap).
 
 from __future__ import annotations
 
-import io as _io
 from typing import Dict
 
 import numpy as np

@@ -23,7 +23,7 @@ from 3-NN mean distance (simple-knn's distCUDA2, C16).
 
 from __future__ import annotations
 
-from typing import NamedTuple, Optional, Tuple
+from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -37,7 +37,6 @@ Capacity growth, keyframe cadence, and densification are unchanged host-side log
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

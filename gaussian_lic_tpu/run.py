@@ -20,7 +20,6 @@ camera rig; --config points at a reference-schema YAML instead.
 from __future__ import annotations
 
 import argparse
-import sys
 import time
 from typing import Iterable, Optional
 
@@ -75,6 +74,10 @@ def run_stream(
             )
         was_kf = engine.add_frame(frame)
         watchdog.initialized = engine.initialized
+        if use_aligner and watchdog.expired(aligner):
+            print("[watchdog] >1 s without point data — ending the run "
+                  "(mapping.cpp:224-234)")
+            break
         n_frames += 1
         if verbose and was_kf:
             m = engine.last_metrics

@@ -34,18 +34,31 @@ class SyntheticWorld:
         return make_camera(self.intr, R_wc, t_wc)
 
     def render_gt(self, cam: Camera) -> np.ndarray:
-        """GT image from the ground-truth Gaussian scene (dense oracle)."""
+        """GT image from the ground-truth Gaussian scene. Uses the exact dense
+        oracle for small scenes; at scale the oracle's (P, pixels) intermediates
+        don't fit (it exists for gradient tests, not for production sizes), so
+        large worlds render through the tiled rasterizer."""
         from gaussian_lic_tpu.ops import sh as sh_ops
 
-        out = render_dense(
+        n = len(self.points)
+        args = (
             jnp.asarray(self.points),
             jnp.asarray(self.scales),
-            jnp.tile(jnp.array([[1.0, 0, 0, 0]], jnp.float32), (len(self.points), 1)),
+            jnp.tile(jnp.array([[1.0, 0, 0, 0]], jnp.float32), (n, 1)),
             jnp.asarray(self.opacity),
             cam,
-            dc=sh_ops.rgb_to_sh(jnp.asarray(self.colors)),
-            sh_rest=jnp.zeros((len(self.points), 15, 3), jnp.float32),
         )
+        kw = dict(
+            dc=sh_ops.rgb_to_sh(jnp.asarray(self.colors)),
+            sh_rest=jnp.zeros((n, 15, 3), jnp.float32),
+        )
+        if n <= 2048:
+            out = render_dense(*args, **kw)
+        else:
+            from gaussian_lic_tpu.ops.rasterize import render_tiled
+
+            budget = 1 << max(int(np.ceil(np.log2(max(n, 1) * 4))), 12)
+            out = render_tiled(*args, **kw, max_total_splats=budget)
         return np.asarray(jnp.clip(out.image, 0.0, 1.0))
 
 

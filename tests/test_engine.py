@@ -122,3 +122,23 @@ class TestDensification:
             eng.add_frame(f)
         assert eng.gm.capacity >= 256  # grew beyond the initial 128
         assert int(eng.gm.count) <= eng.gm.capacity
+
+
+class TestKeyframeBufferGrowth:
+    def test_auto_grow_past_capacity(self, tiny_cfg):
+        """Keyframe buffer doubles instead of raising when full."""
+        from gaussian_lic_tpu.utils.synthetic import make_sequence, make_world
+
+        cfg = tiny_cfg.replace(max_train_keyframes=2, select_every_k_frame=2,
+                               max_iters_per_keyframe=2)
+        rng = np.random.default_rng(9)
+        world = make_world(rng, n_points=200)
+        frames = make_sequence(world, n_frames=12, points_per_frame=80, rng=rng)
+        eng = MappingEngine(cfg)
+        for f in frames:
+            eng.add_frame(f)
+        assert eng.kf_count == 6          # frames 1,3,5,7,9,11
+        assert eng.kf_buffer.images.shape[0] >= 6
+        assert eng.timers.compiles >= 1   # grew at least once
+        out = render_map(eng.gm, eng.train_camera(5), max_total_splats=1 << 14)
+        assert np.isfinite(np.asarray(out.image)).all()

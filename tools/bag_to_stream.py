@@ -10,8 +10,12 @@ fixture format (engine.stream.RecordedStream).
 
 from __future__ import annotations
 
-import argparse
 import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import argparse
 
 
 def main() -> int:

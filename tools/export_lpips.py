@@ -11,7 +11,10 @@ Run offline wherever torch + weights are available; ship only the .npz.
 
 from __future__ import annotations
 
+import os
 import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
