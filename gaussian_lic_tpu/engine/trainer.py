@@ -7,7 +7,8 @@ training/densification free functions (gaussian.cpp:499-719):
     rasterizer) → 0.8·L1 + 0.2·(1−SSIM) (gaussian.cpp:691) → custom-VJP backward →
     visibility-masked sparse Adam on all six groups (optim_utils.h semantics).
     Fused end-to-end; there is no kernel-launch or autograd-tape overhead to bracket
-    with timers, so phase timing reports whole steps (utils.profiling).
+    with timers, so phase timing reports whole steps (PhaseTimers; `--profile`
+    in the CLI captures a jax.profiler trace for op-level detail).
   * `extend_step` — densification (extend, gaussian.cpp:499-638): alpha-only render
     of the newest keyframe, project accumulated LiDAR points, per-pixel min-depth
     dedup **on device via one sort** (replacing the CPU std::unordered_map round
@@ -236,6 +237,7 @@ class MappingEngine:
         self.timers = PhaseTimers()
         self.rng = np.random.default_rng(cfg.seed)
         self.last_metrics: Dict[str, float] = {}
+        self._overflow_warned = False
         self._kf_names: List[str] = []
 
     # ------------------------------------------------------------------ frames
@@ -395,6 +397,14 @@ class MappingEngine:
         self.timers.optimize_steps += time.perf_counter() - t0
         updated = sum(int(v) for v in visible_counts)
         self.last_metrics = {k: float(v) for k, v in metrics.items()}
+        if self.last_metrics.get("overflow", 0) > 0 and not self._overflow_warned:
+            self._overflow_warned = True
+            print(
+                f"[gaussian-lic-tpu] WARNING: binning overflow "
+                f"({int(self.last_metrics['overflow'])} slots) — large-footprint "
+                "Gaussians (e.g. skybox) exceed max_tiles_per_gaussian="
+                f"{cfg.max_tiles_per_gaussian}; raise it (16/32) to render them fully"
+            )
         return updated / max(len(opt_list), 1)
 
     # ---------------------------------------------------------------- finalize

@@ -43,17 +43,24 @@ def _gaussian_window(window_size: int = _WINDOW_SIZE, sigma: float = _SIGMA) -> 
 
 
 def _blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
-    """Separable depthwise 11×11 Gaussian blur, SAME padding. img: (C, H, W)."""
+    """Separable depthwise 11×11 Gaussian blur, SAME padding. img: (C, H, W).
+
+    precision=HIGHEST is load-bearing: on TPU the conv otherwise runs on the
+    MXU in bf16, and the σ² = blur(x²) − μ² cancellation then goes negative on
+    smooth regions — SSIM leaves [−1, 1] and the training loss silently breaks
+    (caught by tools/validate_scale.py reporting SSIM ≈ 1.9)."""
     C = img.shape[0]
     x = img[None]  # (1, C, H, W)
     kh = jnp.tile(window.reshape(1, 1, _WINDOW_SIZE, 1), (C, 1, 1, 1))
     kw = jnp.tile(window.reshape(1, 1, 1, _WINDOW_SIZE), (C, 1, 1, 1))
     dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
     x = jax.lax.conv_general_dilated(
-        x, kh, (1, 1), "SAME", dimension_numbers=dn, feature_group_count=C
+        x, kh, (1, 1), "SAME", dimension_numbers=dn, feature_group_count=C,
+        precision=jax.lax.Precision.HIGHEST,
     )
     x = jax.lax.conv_general_dilated(
-        x, kw, (1, 1), "SAME", dimension_numbers=dn, feature_group_count=C
+        x, kw, (1, 1), "SAME", dimension_numbers=dn, feature_group_count=C,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return x[0]
 

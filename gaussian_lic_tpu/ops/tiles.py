@@ -30,9 +30,17 @@ import jax.numpy as jnp
 
 from gaussian_lic_tpu.ops.projection import OPACITY_THRESHOLD, max_contrib_power_rect
 
-RANK_BITS = 20               # depth ranks per shard: up to 2^20 Gaussians
-MAX_TILE_ID = (1 << (32 - RANK_BITS)) - 1  # 4095
 INVALID_KEY = jnp.uint32(0xFFFFFFFF)
+# Key packing (tile_id << rank_bits) | depth_rank into uint32. rank_bits is
+# chosen per grid: small tile grids leave more bits for depth ranks, so map
+# capacity scales to 2^(32 - ceil(log2(num_tiles+1))) Gaussians — e.g. 2^23 at
+# 640×512/(8·128) (320 tiles + the INVALID sentinel headroom).
+RANK_BITS = 20  # legacy default, used only when a grid isn't supplied
+
+
+def rank_bits_for(num_tiles: int) -> int:
+    tile_bits = max(int(num_tiles + 1).bit_length(), 1)
+    return 32 - tile_bits
 
 
 class TileGrid(NamedTuple):
@@ -176,8 +184,11 @@ def bin_gaussians(
     M = max_total_splats
     n_ty_local = grid.n_ty if band_n_ty is None else band_n_ty
     num_tiles_local = n_ty_local * grid.n_tx
-    assert num_tiles_local <= MAX_TILE_ID, "tile id does not fit the uint32 key"
-    assert P <= (1 << RANK_BITS), "depth rank does not fit the uint32 key"
+    rank_bits = rank_bits_for(num_tiles_local)
+    assert P <= (1 << rank_bits), (
+        f"depth rank needs {P} values but only {1 << rank_bits} fit next to "
+        f"{num_tiles_local} tile ids; shard the map or coarsen the tile grid"
+    )
     if band_ty0 is None:
         band_ty0 = jnp.int32(0)
 
@@ -203,7 +214,7 @@ def bin_gaussians(
     tile_id = jnp.where(slot_valid, ty_local * grid.n_tx + tx, 0).astype(jnp.uint32)
     keys = jnp.where(
         slot_valid,
-        (tile_id << RANK_BITS) | rank[:, None],
+        (tile_id << rank_bits) | rank[:, None],
         INVALID_KEY,
     ).reshape(-1)
     slot_ids = jnp.arange(P * K, dtype=jnp.int32)
@@ -241,7 +252,7 @@ def bin_gaussians(
     # [start, start+len), so no re-layout pass is needed) ---
     sorted_keys = sorted_keys[:m_eff]
     sorted_slots = sorted_slots[:m_eff]
-    sorted_tiles = (sorted_keys >> RANK_BITS).astype(jnp.int32)
+    sorted_tiles = (sorted_keys >> rank_bits).astype(jnp.int32)
     boundaries = jnp.arange(num_tiles_local + 1, dtype=jnp.int32)
     edges = jnp.searchsorted(sorted_tiles, boundaries, side="left").astype(jnp.int32)
     tile_starts = edges[:-1]

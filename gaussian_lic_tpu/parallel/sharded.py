@@ -98,6 +98,8 @@ def bin_gaussians_sharded(
     assert P % n_dev == 0, "Gaussian capacity must divide the mesh"
     shard = P // n_dev
     num_tiles_local = band_n_ty * grid.n_tx
+    rank_bits = tiles_ops.rank_bits_for(num_tiles_local)
+    assert P <= (1 << rank_bits), "depth rank does not fit the band-local key"
     dev = lax.axis_index(axis_name)
     g0 = (dev * shard).astype(jnp.int32)
 
@@ -119,7 +121,7 @@ def bin_gaussians_sharded(
     tile_local = (ty_local * grid.n_tx + tx).astype(jnp.uint32)
     packed = jnp.where(
         slot_valid,
-        (tile_local << tiles_ops.RANK_BITS) | rank_s[:, None],
+        (tile_local << rank_bits) | rank_s[:, None],
         tiles_ops.INVALID_KEY,
     ).reshape(-1)
     band_key = jnp.where(slot_valid, band, n_dev).astype(jnp.uint32).reshape(-1)
@@ -162,7 +164,7 @@ def bin_gaussians_sharded(
     sorted_gauss = jnp.concatenate(
         [gauss_raw, jnp.full((M_pad - m_eff,), P, jnp.int32)]
     )
-    sorted_tiles = (fk >> tiles_ops.RANK_BITS).astype(jnp.int32)
+    sorted_tiles = (fk >> rank_bits).astype(jnp.int32)
     boundaries = jnp.arange(num_tiles_local + 1, dtype=jnp.int32)
     e2 = jnp.searchsorted(sorted_tiles, boundaries, side="left").astype(jnp.int32)
     tile_starts = e2[:-1]

@@ -25,7 +25,9 @@ def main() -> int:
     ap.add_argument("--frames", type=int, default=40)
     ap.add_argument("--points", type=int, default=50000)
     ap.add_argument("--iters", type=int, default=40)
-    ap.add_argument("--skybox", type=int, default=100000)
+    ap.add_argument("--skybox", type=int, default=0,
+                    help="skybox points (synthetic GT has no sky; enable with "
+                         "max_tiles_per_gaussian>=16 to avoid footprint truncation)")
     args = ap.parse_args()
 
     import jax
