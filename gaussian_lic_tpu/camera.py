@@ -25,6 +25,7 @@ import math
 from dataclasses import dataclass
 from typing import Tuple
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import struct
@@ -108,7 +109,8 @@ class CameraPose:
     @property
     def cam_center(self) -> jnp.ndarray:
         """Camera position in world frame (camera.h:61): −R_cwᵀ t_cw."""
-        return -jnp.einsum("...ji,...j->...i", self.R_cw, self.t_cw)
+        return -jnp.einsum("...ji,...j->...i", self.R_cw, self.t_cw,
+                           precision=jax.lax.Precision.HIGHEST)
 
     def view_matrix(self) -> jnp.ndarray:
         """(...,4,4) world→camera homogeneous transform, column-vector convention."""
@@ -147,10 +149,12 @@ def make_camera(
     R_wc = jnp.asarray(R_wc, jnp.float32)
     t_wc = jnp.asarray(t_wc, jnp.float32)
     R_cw = jnp.swapaxes(R_wc, -1, -2)
-    t_cw = -jnp.einsum("...ij,...j->...i", R_cw, t_wc)
+    t_cw = -jnp.einsum("...ij,...j->...i", R_cw, t_wc,
+                       precision=jax.lax.Precision.HIGHEST)
     pose = CameraPose(R_cw=R_cw, t_cw=t_cw)
     P = jnp.asarray(intr.projection_matrix())
-    full_proj = jnp.einsum("ij,...jk->...ik", P, pose.view_matrix())
+    full_proj = jnp.einsum("ij,...jk->...ik", P, pose.view_matrix(),
+                           precision=jax.lax.Precision.HIGHEST)
     return Camera(intr=intr, pose=pose, full_proj=full_proj)
 
 

@@ -159,7 +159,8 @@ def _make_extend_step(intr: Intrinsics, cfg: Params):
         alpha = 1.0 - out.final_T  # (H,W) (gaussian.cpp:507)
 
         # project into the newest keyframe (gaussian.cpp:541-551: x·fx/z + cx, floored)
-        p_cam = pts @ cam.pose.R_cw.T + cam.pose.t_cw
+        p_cam = jnp.matmul(pts, cam.pose.R_cw.T,
+                           precision=jax.lax.Precision.HIGHEST) + cam.pose.t_cw
         z = p_cam[:, 2]
         safe_z = jnp.where(jnp.abs(z) > 1e-8, z, 1e-8)
         xpix = jnp.floor(p_cam[:, 0] * intr.fx / safe_z + intr.cx).astype(jnp.int32)

@@ -43,8 +43,10 @@ N_CHANNELS = [64, 192, 384, 256, 256]
 def _conv2d(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray,
             stride: int, pad: int) -> jnp.ndarray:
     dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NCHW", "OIHW", "NCHW"))
+    # HIGHEST: TPU convs otherwise run in bf16 on the MXU, drifting the metric
     y = jax.lax.conv_general_dilated(
-        x, w, (stride, stride), [(pad, pad), (pad, pad)], dimension_numbers=dn
+        x, w, (stride, stride), [(pad, pad), (pad, pad)], dimension_numbers=dn,
+        precision=jax.lax.Precision.HIGHEST,
     )
     return y + b[None, :, None, None]
 

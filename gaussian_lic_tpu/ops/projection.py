@@ -21,6 +21,7 @@ from __future__ import annotations
 
 from typing import NamedTuple
 
+import jax
 import jax.numpy as jnp
 
 from gaussian_lic_tpu.camera import Camera
@@ -56,7 +57,9 @@ def build_cov3d(scale: jnp.ndarray, quat: jnp.ndarray) -> jnp.ndarray:
     """
     R = quat_to_rotmat(quat)
     RS = R * scale[..., None, :]  # R @ diag(s)
-    return RS @ jnp.swapaxes(RS, -1, -2)
+    # HIGHEST: bare @ lowers to bf16 MXU passes on TPU (PERF.md numerics note)
+    return jnp.matmul(RS, jnp.swapaxes(RS, -1, -2),
+                      precision=jax.lax.Precision.HIGHEST)
 
 
 class ProjectionResult(NamedTuple):
@@ -82,14 +85,16 @@ def project_gaussians(
     R_cw = camera.pose.R_cw
     t_cw = camera.pose.t_cw
 
-    # world → view (transformPoint4x3 semantics)
-    p_view = xyz @ R_cw.T + t_cw
+    # world → view (transformPoint4x3 semantics); HIGHEST keeps these off the
+    # bf16 MXU path — geometry at scene scale loses ~8 mantissa bits otherwise
+    hi = jax.lax.Precision.HIGHEST
+    p_view = jnp.matmul(xyz, R_cw.T, precision=hi) + t_cw
     depth = p_view[..., 2]
     in_front = depth > FRUSTUM_NEAR
 
     # world → clip → ndc → pixels (forward.cu:278-281, auxiliary.h:41)
-    ph = xyz @ camera.full_proj[:3, :3].T + camera.full_proj[:3, 3]
-    pw = xyz @ camera.full_proj[3, :3].T + camera.full_proj[3, 3]
+    ph = jnp.matmul(xyz, camera.full_proj[:3, :3].T, precision=hi) + camera.full_proj[:3, 3]
+    pw = jnp.matmul(xyz, camera.full_proj[3, :3].T, precision=hi) + camera.full_proj[3, 3]
     inv_w = 1.0 / (pw + 1e-7)
     ndc_xy = ph[..., :2] * inv_w[..., None]
     W = jnp.float32(intr.width)
@@ -122,10 +127,13 @@ def project_gaussians(
     M1 = J11[..., None] * R_cw[1] + J12[..., None] * R_cw[2]  # (P,3)
 
     Sigma = build_cov3d(scale, quat)  # (P,3,3)
-    S_M0 = jnp.einsum("pij,pj->pi", Sigma, M0)
-    a = jnp.einsum("pi,pi->p", M0, S_M0) + COV2D_DILATION
-    b = jnp.einsum("pi,pi->p", M1, S_M0)
-    c = jnp.einsum("pi,pi->p", M1, jnp.einsum("pij,pj->pi", Sigma, M1)) + COV2D_DILATION
+    S_M0 = jnp.einsum("pij,pj->pi", Sigma, M0, precision=hi)
+    a = jnp.einsum("pi,pi->p", M0, S_M0, precision=hi) + COV2D_DILATION
+    b = jnp.einsum("pi,pi->p", M1, S_M0, precision=hi)
+    c = jnp.einsum(
+        "pi,pi->p", M1, jnp.einsum("pij,pj->pi", Sigma, M1, precision=hi),
+        precision=hi,
+    ) + COV2D_DILATION
     cov2d = jnp.stack([a, b, c], axis=-1)
 
     det = a * c - b * b
