@@ -61,7 +61,7 @@ SPLAT_ROWS = 16
 GROW_X, GROW_Y, GROW_A, GROW_B, GROW_C, GROW_OPA, GROW_R, GROW_G, GROW_B2 = range(9)
 
 CHUNK = 256          # splat entries per DMA window
-SUB = 8              # splats per vector-loaded block
+SUB = 32             # splats per vector-loaded block
 
 
 def _interpret() -> bool:
