@@ -56,8 +56,9 @@ class Params:
     max_iters_per_keyframe: int = 100
 
     # --- TPU rasterizer knobs (no reference counterpart; DESIGN.md §2) ---
-    tile_h: int = 8              # VPU sublane dim
-    tile_w: int = 128            # VPU lane dim
+    tile_h: int = 32             # image-tile height (tile_h*tile_w must be 1024)
+    tile_w: int = 32             # square 32x32 tiles minimize splat-tile overlap;
+                                 # kernels always compute on the (8,128) f32 vreg
     # Static K tile-slots per Gaussian. Exact culling leaves ~1.7 live
     # tiles/Gaussian on average; rects needing more than K slots are truncated
     # and counted in the render overflow metric. The P·K sorts and the slot-

@@ -62,6 +62,8 @@ GROW_X, GROW_Y, GROW_A, GROW_B, GROW_C, GROW_OPA, GROW_R, GROW_G, GROW_B2 = rang
 
 CHUNK = 256          # splat entries per DMA window
 SUB = 32             # splats per vector-loaded block
+VREG_H, VREG_W = 8, 128   # native f32 vreg tile; every tile holds 1024 pixels
+TILE_PIX = VREG_H * VREG_W
 
 
 def _interpret() -> bool:
@@ -69,15 +71,40 @@ def _interpret() -> bool:
 
 
 def _pixel_coords(t, n_tx: int, tile_h: int, tile_w: int):
+    """Image coordinates of the (VREG_H, VREG_W) register tile for image tile t.
+
+    The 1024 pixels of an image tile of any aspect (tile_h·tile_w = 1024) are
+    laid out row-major across the (8, 128) vreg: flat = sublane·128 + lane,
+    pixel = (flat // tile_w, flat % tile_w). Square 32×32 tiles cut the splat
+    list ~25% vs 8×128 strips (a splat's bounding rect meets fewer squares),
+    while every in-kernel op stays on the native (8, 128) f32 vreg. With
+    (tile_h, tile_w) = (8, 128) this reduces to the identity strip mapping.
+    """
     ty = t // n_tx
     tx = t % n_tx
-    py = (ty * tile_h + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 0)).astype(
-        jnp.float32
+    flat = (
+        jax.lax.broadcasted_iota(jnp.int32, (VREG_H, VREG_W), 0) * VREG_W
+        + jax.lax.broadcasted_iota(jnp.int32, (VREG_H, VREG_W), 1)
     )
-    px = (tx * tile_w + jax.lax.broadcasted_iota(jnp.int32, (tile_h, tile_w), 1)).astype(
-        jnp.float32
-    )
+    py = (ty * tile_h + flat // tile_w).astype(jnp.float32)
+    px = (tx * tile_w + flat % tile_w).astype(jnp.float32)
     return px, py
+
+
+def swizzle_tiles(img: jnp.ndarray, n_tx: int, n_ty: int, tile_h: int, tile_w: int):
+    """(..., n_ty·tile_h, n_tx·tile_w) → tile-major (..., T, VREG_H, VREG_W)."""
+    lead = img.shape[:-2]
+    x = img.reshape(*lead, n_ty, tile_h, n_tx, tile_w)
+    x = jnp.moveaxis(x, -2, -3)
+    return x.reshape(*lead, n_ty * n_tx, VREG_H, VREG_W)
+
+
+def unswizzle_tiles(tiles: jnp.ndarray, n_tx: int, n_ty: int, tile_h: int, tile_w: int):
+    """Tile-major (..., T, VREG_H, VREG_W) → image (..., n_ty·tile_h, n_tx·tile_w)."""
+    lead = tiles.shape[:-3]
+    x = tiles.reshape(*lead, n_ty, n_tx, tile_h, tile_w)
+    x = jnp.moveaxis(x, -3, -2)
+    return x.reshape(*lead, n_ty * tile_h, n_tx * tile_w)
 
 
 def _splat_attrs(row, s: int, no_color: bool):
@@ -105,10 +132,10 @@ def _forward_kernel(
     starts_ref, lens_ref,
     # inputs
     splats_ref,                 # (M_pad//SUB, SUB*16) f32 in HBM/ANY, packed rows
-    # outputs (blocked per tile)
-    color_ref,                  # (3, th, tw)
-    final_t_ref,                # (th, tw)
-    ncontrib_ref,               # (th, tw) int32
+    # outputs (tile-major, one (VREG_H, VREG_W) register tile per image tile)
+    color_ref,                  # (3, 1, VREG_H, VREG_W)
+    final_t_ref,                # (1, VREG_H, VREG_W)
+    ncontrib_ref,               # (1, VREG_H, VREG_W) int32
     # scratch
     dbuf, sem,
     *, n_tx: int, tile_h: int, tile_w: int, no_color: bool,
@@ -118,7 +145,7 @@ def _forward_kernel(
     length = lens_ref[t]
     px, py = _pixel_coords(t, n_tx, tile_h, tile_w)
 
-    shape = (tile_h, tile_w)
+    shape = (VREG_H, VREG_W)
     T0 = jnp.ones(shape, jnp.float32)
     C0r = jnp.zeros(shape, jnp.float32)
     C0g = jnp.zeros(shape, jnp.float32)
@@ -194,17 +221,17 @@ def _forward_kernel(
         0, n_chunks, chunk_body, (T0, C0r, C0g, C0b, done0, last0)
     )
 
-    final_t_ref[:, :] = T
+    final_t_ref[0, :, :] = T
     if not no_color:
-        color_ref[0, :, :] = Cr
-        color_ref[1, :, :] = Cg
-        color_ref[2, :, :] = Cb
-        ncontrib_ref[:, :] = last
+        color_ref[0, 0, :, :] = Cr
+        color_ref[1, 0, :, :] = Cg
+        color_ref[2, 0, :, :] = Cb
+        ncontrib_ref[0, :, :] = last
     else:
-        color_ref[0, :, :] = jnp.zeros(shape, jnp.float32)
-        color_ref[1, :, :] = jnp.zeros(shape, jnp.float32)
-        color_ref[2, :, :] = jnp.zeros(shape, jnp.float32)
-        ncontrib_ref[:, :] = jnp.zeros(shape, jnp.int32)
+        color_ref[0, 0, :, :] = jnp.zeros(shape, jnp.float32)
+        color_ref[1, 0, :, :] = jnp.zeros(shape, jnp.float32)
+        color_ref[2, 0, :, :] = jnp.zeros(shape, jnp.float32)
+        ncontrib_ref[0, :, :] = jnp.zeros(shape, jnp.int32)
 
 
 @functools.partial(
@@ -222,9 +249,10 @@ def blend_forward(
     tile_w: int = 128,
     no_color: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
-    """Returns (color (3, Hp, Wp), final_T (Hp, Wp), n_contrib (Hp, Wp) int32)."""
+    """Returns TILE-MAJOR (color (3, T, 8, 128), final_T (T, 8, 128),
+    n_contrib (T, 8, 128) int32); map to image space with unswizzle_tiles."""
+    assert tile_h * tile_w == TILE_PIX, "tiles must hold exactly one (8,128) vreg"
     T = n_tx * n_ty
-    Hp, Wp = n_ty * tile_h, n_tx * tile_w
     kernel = functools.partial(
         _forward_kernel, n_tx=n_tx, tile_h=tile_h, tile_w=tile_w, no_color=no_color
     )
@@ -234,11 +262,11 @@ def blend_forward(
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=[
             pl.BlockSpec(
-                (3, tile_h, tile_w),
-                lambda t, *_: (0, t // n_tx, t % n_tx),
+                (3, 1, VREG_H, VREG_W),
+                lambda t, *_: (0, t, 0, 0),
             ),
-            pl.BlockSpec((tile_h, tile_w), lambda t, *_: (t // n_tx, t % n_tx)),
-            pl.BlockSpec((tile_h, tile_w), lambda t, *_: (t // n_tx, t % n_tx)),
+            pl.BlockSpec((1, VREG_H, VREG_W), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, VREG_H, VREG_W), lambda t, *_: (t, 0, 0)),
         ],
         scratch_shapes=[
             pltpu.VMEM((2, CHUNK // SUB, SUB * SPLAT_ROWS), jnp.float32),
@@ -249,9 +277,9 @@ def blend_forward(
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((3, Hp, Wp), jnp.float32),
-            jax.ShapeDtypeStruct((Hp, Wp), jnp.float32),
-            jax.ShapeDtypeStruct((Hp, Wp), jnp.int32),
+            jax.ShapeDtypeStruct((3, T, VREG_H, VREG_W), jnp.float32),
+            jax.ShapeDtypeStruct((T, VREG_H, VREG_W), jnp.float32),
+            jax.ShapeDtypeStruct((T, VREG_H, VREG_W), jnp.int32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
@@ -270,9 +298,9 @@ def _backward_kernel(
     starts_ref, lens_ref,
     # inputs
     splats_ref,                 # (M_pad//SUB, SUB*16) ANY, packed rows
-    dl_dcolor_ref,              # (3, th, tw) block
-    final_t_ref,                # (th, tw) block
-    ncontrib_ref,               # (th, tw) int32 block
+    dl_dcolor_ref,              # (3, 1, VREG_H, VREG_W) tile-major block
+    final_t_ref,                # (1, VREG_H, VREG_W) block
+    ncontrib_ref,               # (1, VREG_H, VREG_W) int32 block
     grads_in_ref,               # (SPLAT_ROWS, M_pad) ANY — aliased with output
     # outputs
     grads_ref,                  # (SPLAT_ROWS, M_pad) ANY — per-entry grads (accum)
@@ -286,13 +314,13 @@ def _backward_kernel(
     length = lens_ref[t]
     px, py = _pixel_coords(t, n_tx, tile_h, tile_w)
 
-    dlr = dl_dcolor_ref[0, :, :]
-    dlg = dl_dcolor_ref[1, :, :]
-    dlb = dl_dcolor_ref[2, :, :]
-    ncontrib = ncontrib_ref[:, :]
+    dlr = dl_dcolor_ref[0, 0, :, :]
+    dlg = dl_dcolor_ref[1, 0, :, :]
+    dlb = dl_dcolor_ref[2, 0, :, :]
+    ncontrib = ncontrib_ref[0, :, :]
 
-    T_init = final_t_ref[:, :]
-    S0r = jnp.zeros((tile_h, tile_w), jnp.float32)
+    T_init = final_t_ref[0, :, :]
+    S0r = jnp.zeros((VREG_H, VREG_W), jnp.float32)
 
     # Entries past the tile's deepest contributor have zero gradients: bound the
     # reverse walk at max(n_contrib) (final_T is already the transmittance
@@ -408,16 +436,18 @@ def blend_backward(
     splats: jnp.ndarray,       # (M_pad//SUB, SUB*16) packed rows
     tile_starts: jnp.ndarray,
     tile_lens: jnp.ndarray,
-    dl_dcolor: jnp.ndarray,    # (3, Hp, Wp)
-    final_t: jnp.ndarray,      # (Hp, Wp)
-    n_contrib: jnp.ndarray,    # (Hp, Wp) int32
+    dl_dcolor: jnp.ndarray,    # (3, T, 8, 128) tile-major
+    final_t: jnp.ndarray,      # (T, 8, 128)
+    n_contrib: jnp.ndarray,    # (T, 8, 128) int32
     *,
     n_tx: int,
     n_ty: int,
     tile_h: int = 8,
     tile_w: int = 128,
 ) -> jnp.ndarray:
-    """Returns per-entry gradients (SPLAT_ROWS, M_pad)."""
+    """Returns per-entry gradients (SPLAT_ROWS, M_pad). Pixel inputs are
+    TILE-MAJOR (swizzle_tiles of the image-space arrays)."""
+    assert tile_h * tile_w == TILE_PIX, "tiles must hold exactly one (8,128) vreg"
     T = n_tx * n_ty
     kernel = functools.partial(
         _backward_kernel, n_tx=n_tx, tile_h=tile_h, tile_w=tile_w
@@ -427,9 +457,9 @@ def blend_backward(
         grid=(T,),
         in_specs=[
             pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec((3, tile_h, tile_w), lambda t, *_: (0, t // n_tx, t % n_tx)),
-            pl.BlockSpec((tile_h, tile_w), lambda t, *_: (t // n_tx, t % n_tx)),
-            pl.BlockSpec((tile_h, tile_w), lambda t, *_: (t // n_tx, t % n_tx)),
+            pl.BlockSpec((3, 1, VREG_H, VREG_W), lambda t, *_: (0, t, 0, 0)),
+            pl.BlockSpec((1, VREG_H, VREG_W), lambda t, *_: (t, 0, 0)),
+            pl.BlockSpec((1, VREG_H, VREG_W), lambda t, *_: (t, 0, 0)),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],

@@ -117,23 +117,55 @@ def project_gaussians(
     fy = jnp.float32(intr.fy)
     inv_tz = 1.0 / tz
     inv_tz2 = inv_tz * inv_tz
-    # M = J @ R_cw : (P, 2, 3)
+    # M = J @ R_cw : rows kept as six (P,) components. The whole EWA chain below
+    # is written as scalar-expanded (P,) arithmetic on purpose: batched (P,3,3)
+    # dot_generals for these tiny contractions cost ~32 ms at P=1M on v5e
+    # (pathological tiny-batched-matmul lowering), while the expanded form fuses
+    # into one VPU pass (~1 ms) and gives AD an equally elementwise backward.
     J00 = fx * inv_tz
     J11 = fy * inv_tz
     J02 = -fx * tx * inv_tz2
     J12 = -fy * ty * inv_tz2
-    # rows of J @ R_cw
-    M0 = J00[..., None] * R_cw[0] + J02[..., None] * R_cw[2]  # (P,3)
-    M1 = J11[..., None] * R_cw[1] + J12[..., None] * R_cw[2]  # (P,3)
+    m00 = J00 * R_cw[0, 0] + J02 * R_cw[2, 0]
+    m01 = J00 * R_cw[0, 1] + J02 * R_cw[2, 1]
+    m02 = J00 * R_cw[0, 2] + J02 * R_cw[2, 2]
+    m10 = J11 * R_cw[1, 0] + J12 * R_cw[2, 0]
+    m11 = J11 * R_cw[1, 1] + J12 * R_cw[2, 1]
+    m12 = J11 * R_cw[1, 2] + J12 * R_cw[2, 2]
 
-    Sigma = build_cov3d(scale, quat)  # (P,3,3)
-    S_M0 = jnp.einsum("pij,pj->pi", Sigma, M0, precision=hi)
-    a = jnp.einsum("pi,pi->p", M0, S_M0, precision=hi) + COV2D_DILATION
-    b = jnp.einsum("pi,pi->p", M1, S_M0, precision=hi)
-    c = jnp.einsum(
-        "pi,pi->p", M1, jnp.einsum("pij,pj->pi", Sigma, M1, precision=hi),
-        precision=hi,
-    ) + COV2D_DILATION
+    # Σ = R diag(s²) Rᵀ, six unique entries as (P,) arrays (computeCov3D,
+    # forward.cu:120-149, same math as build_cov3d without the rank-3 tensors)
+    qn = quat / (jnp.linalg.norm(quat, axis=-1, keepdims=True) + 1e-12)
+    qr, qx, qy, qz = qn[..., 0], qn[..., 1], qn[..., 2], qn[..., 3]
+    R00 = 1.0 - 2.0 * (qy * qy + qz * qz)
+    R01 = 2.0 * (qx * qy - qr * qz)
+    R02 = 2.0 * (qx * qz + qr * qy)
+    R10 = 2.0 * (qx * qy + qr * qz)
+    R11 = 1.0 - 2.0 * (qx * qx + qz * qz)
+    R12 = 2.0 * (qy * qz - qr * qx)
+    R20 = 2.0 * (qx * qz - qr * qy)
+    R21 = 2.0 * (qy * qz + qr * qx)
+    R22 = 1.0 - 2.0 * (qx * qx + qy * qy)
+    s0 = scale[..., 0] * scale[..., 0]
+    s1 = scale[..., 1] * scale[..., 1]
+    s2_ = scale[..., 2] * scale[..., 2]
+    S00 = s0 * R00 * R00 + s1 * R01 * R01 + s2_ * R02 * R02
+    S01 = s0 * R00 * R10 + s1 * R01 * R11 + s2_ * R02 * R12
+    S02 = s0 * R00 * R20 + s1 * R01 * R21 + s2_ * R02 * R22
+    S11 = s0 * R10 * R10 + s1 * R11 * R11 + s2_ * R12 * R12
+    S12 = s0 * R10 * R20 + s1 * R11 * R21 + s2_ * R12 * R22
+    S22 = s0 * R20 * R20 + s1 * R21 * R21 + s2_ * R22 * R22
+
+    # cov2D = M Σ Mᵀ (quadratic forms, expanded)
+    t0 = S00 * m00 + S01 * m01 + S02 * m02
+    t1 = S01 * m00 + S11 * m01 + S12 * m02
+    t2 = S02 * m00 + S12 * m01 + S22 * m02
+    a = m00 * t0 + m01 * t1 + m02 * t2 + COV2D_DILATION
+    b = m10 * t0 + m11 * t1 + m12 * t2
+    u0 = S00 * m10 + S01 * m11 + S02 * m12
+    u1 = S01 * m10 + S11 * m11 + S12 * m12
+    u2 = S02 * m10 + S12 * m11 + S22 * m12
+    c = m10 * u0 + m11 * u1 + m12 * u2 + COV2D_DILATION
     cov2d = jnp.stack([a, b, c], axis=-1)
 
     det = a * c - b * b

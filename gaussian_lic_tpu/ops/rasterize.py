@@ -48,15 +48,19 @@ from gaussian_lic_tpu.ops.blend_pallas import (
     SPLAT_ROWS,
     blend_backward,
     blend_forward,
+    unswizzle_tiles,
 )
 from gaussian_lic_tpu.ops.projection import OPACITY_THRESHOLD, project_gaussians
 from gaussian_lic_tpu.ops.rasterize_ref import RenderOutput
 
 
 def _splat_budget_for(capacity: int, cfg) -> int:
-    """Sorted-splat-list budget: ~4 entries per Gaussian on average, power-of-two,
-    capped by the hard per-Gaussian slot limit."""
-    b = 1 << max(int(np.ceil(np.log2(max(capacity, 1) * 4))), 12)
+    """Sorted-splat-list budget: ~3 entries per Gaussian on average (measured
+    live-entry count at 1M Gaussians is ~1.7/Gaussian; headroom covers skybox
+    splats and dense views), CHUNK-aligned, capped by the per-Gaussian slot
+    limit. Overflow past the budget is counted and surfaced per keyframe."""
+    b = max(int(capacity * 3), 1 << 12)
+    b = (b + CHUNK - 1) // CHUNK * CHUNK
     return min(b, capacity * cfg.max_tiles_per_gaussian)
 
 
@@ -85,19 +89,21 @@ def _pack_rows(xy, conic, opacity, rgb):
 
 
 @functools.lru_cache(maxsize=32)
-def _make_blend(n_tx: int, n_ty: int, tile_h: int, tile_w: int, max_total_splats: int):
-    """custom_vjp blend closed over the static tile-grid configuration."""
+def _make_blend(n_tx: int, n_ty: int, tile_h: int, tile_w: int, max_total_splats: int,
+                max_tiles_per_gaussian: int = 16):
+    """custom_vjp blend closed over the static tile-grid configuration.
+    `max_tiles_per_gaussian` bounds per-Gaussian run lengths in the sorted list
+    (the backward's segmented scan needs log2 of it steps)."""
     M = max_total_splats
+    K = max_tiles_per_gaussian
 
-    def _fwd_impl(xy, conic, opacity, rgb, sorted_gauss, tile_starts, tile_lens):
-        rows = _pack_rows(xy, conic, opacity, rgb)
-        # dead entries (sentinel id = P) → zero rows → alpha 0 → skipped
-        # in-kernel; the (M_pad//SUB, SUB·16) packed-row view is a free bitcast
-        # reshape and gives the kernels 128-lane DMA rows with no transposes
-        m_pad = sorted_gauss.shape[0]
-        splats = jnp.take(
-            rows, sorted_gauss, axis=0, mode="fill", fill_value=0.0
-        ).reshape(m_pad // SUB, SUB * SPLAT_ROWS)
+    def _fwd_impl(splat_rows, tile_starts, tile_lens):
+        # splat_rows (M_pad, SPLAT_ROWS) comes ready-packed from the binning
+        # sort (dead entries are zero rows → alpha 0 → skipped in-kernel); the
+        # (M_pad//SUB, SUB·16) view is a free bitcast reshape and gives the
+        # kernels 128-lane DMA rows with no transposes
+        m_pad = splat_rows.shape[0]
+        splats = splat_rows.reshape(m_pad // SUB, SUB * SPLAT_ROWS)
         color, final_t, n_contrib = blend_forward(
             splats, tile_starts, tile_lens,
             n_tx=n_tx, n_ty=n_ty, tile_h=tile_h, tile_w=tile_w,
@@ -105,22 +111,25 @@ def _make_blend(n_tx: int, n_ty: int, tile_h: int, tile_w: int, max_total_splats
         return color, final_t, n_contrib, splats
 
     @jax.custom_vjp
-    def blend(xy, conic, opacity, rgb, sorted_gauss, tile_starts, tile_lens, inv_pos):
-        color, final_t, n_contrib, _ = _fwd_impl(
-            xy, conic, opacity, rgb, sorted_gauss, tile_starts, tile_lens
-        )
+    def blend(xy, conic, opacity, rgb, splat_rows, sorted_gauss,
+              tile_starts, tile_lens, cnt):
+        # xy/conic/opacity/rgb are the differentiable primals (their values are
+        # already baked into splat_rows by the binning sort); the forward only
+        # reads splat_rows, the backward produces their cotangents.
+        color, final_t, n_contrib, _ = _fwd_impl(splat_rows, tile_starts, tile_lens)
         return color, final_t, n_contrib
 
-    def blend_fwd(xy, conic, opacity, rgb, sorted_gauss, tile_starts, tile_lens, inv_pos):
+    def blend_fwd(xy, conic, opacity, rgb, splat_rows, sorted_gauss,
+                  tile_starts, tile_lens, cnt):
         color, final_t, n_contrib, splats = _fwd_impl(
-            xy, conic, opacity, rgb, sorted_gauss, tile_starts, tile_lens
+            splat_rows, tile_starts, tile_lens
         )
         res = (splats, sorted_gauss, tile_starts, tile_lens, final_t, n_contrib,
-               inv_pos)
+               cnt)
         return (color, final_t, n_contrib), res
 
     def blend_bwd(res, cotangents):
-        splats, sorted_gauss, tile_starts, tile_lens, final_t, n_contrib, inv_pos = res
+        splats, sorted_gauss, tile_starts, tile_lens, final_t, n_contrib, cnt = res
         d_color, _d_final_t, _d_ncontrib = cotangents
         # The reference backward likewise consumes only the image gradient
         # (PerGaussianRenderCUDA reads dL_dpixels only, backward.cu:529-536).
@@ -129,7 +138,6 @@ def _make_blend(n_tx: int, n_ty: int, tile_h: int, tile_w: int, max_total_splats
             d_color, final_t, n_contrib,
             n_tx=n_tx, n_ty=n_ty, tile_h=tile_h, tile_w=tile_w,
         )  # (SPLAT_ROWS, M_pad), attribute-major
-        P, K = inv_pos.shape
         m_pad = sorted_gauss.shape[0]
 
         # Per-Gaussian reduction via carry-sort + segmented scan + one row
@@ -152,8 +160,7 @@ def _make_blend(n_tx: int, n_ty: int, tile_h: int, tile_w: int, max_total_splats
                 )
                 scols[qi] = scols[qi] + jnp.where(same, shifted, 0.0)
             j *= 2
-        # 3) run lengths from the slot table (exact even under budget loss)
-        cnt = jnp.sum((inv_pos < m_pad).astype(jnp.int32), axis=1)  # (P,)
+        # 3) run lengths from binning (exact even under budget loss)
         off = jnp.cumsum(cnt) - cnt
         last = jnp.clip(off + cnt - 1, 0, m_pad - 1)
         stacked = jnp.stack(scols, axis=1)              # (M_pad, 9)
@@ -170,10 +177,11 @@ def _make_blend(n_tx: int, n_ty: int, tile_h: int, tile_w: int, max_total_splats
 
         return (
             d_xy, d_conic, d_opa, d_rgb,
+            jnp.zeros((m_pad, SPLAT_ROWS), jnp.float32),  # splat_rows (unused dup)
             int_zero(jnp.zeros(m_pad, jnp.int32)),
             int_zero(tile_starts),
             int_zero(tile_lens),
-            int_zero(inv_pos),
+            int_zero(cnt),
         )
 
     blend.defvjp(blend_fwd, blend_bwd)
@@ -195,8 +203,8 @@ def render_tiled(
     apply_exposure: bool = False,
     no_color: bool = False,
     bg: Optional[jnp.ndarray] = None,        # accepted, ignored (parity)
-    tile_h: int = 8,
-    tile_w: int = 128,
+    tile_h: int = 32,
+    tile_w: int = 32,
     max_tiles_per_gaussian: int = 16,
     max_total_splats: int = 1 << 21,
 ) -> TiledRenderOutput:
@@ -232,26 +240,39 @@ def render_tiled(
         max_total_splats=max_total_splats,
         align=CHUNK,
     )
+    # pack splat rows by row gather (dead sentinel id P → zero rows); measured
+    # faster end-to-end than carrying attribute columns through the binning
+    # sort (the column→packed-row interleave plus lost fusion outweigh it)
+    rows = _pack_rows(sg(proj.xy), sg(proj.conic), sg(opacity), sg(rgb))
+    splat_rows = jnp.take(
+        rows, binning.sorted_gauss, axis=0, mode="fill", fill_value=0.0
+    )
 
     if no_color:
         # alpha-only pass (extend(), gaussian.cpp:505-507) — no gradients needed
-        rows = _pack_rows(sg(proj.xy), sg(proj.conic), sg(opacity), rgb)
         m_pad = binning.sorted_gauss.shape[0]
-        splats = jnp.take(
-            rows, binning.sorted_gauss, axis=0, mode="fill", fill_value=0.0
-        ).reshape(m_pad // SUB, SUB * SPLAT_ROWS)
-        color_p, final_t_p, ncontrib_p = blend_forward(
+        splats = splat_rows.reshape(m_pad // SUB, SUB * SPLAT_ROWS)
+        color_t, final_t_t, ncontrib_t = blend_forward(
             splats, binning.tile_starts, binning.tile_lens,
             n_tx=grid.n_tx, n_ty=grid.n_ty, tile_h=tile_h, tile_w=tile_w,
             no_color=True,
         )
     else:
-        blend = _make_blend(grid.n_tx, grid.n_ty, tile_h, tile_w, max_total_splats)
-        color_p, final_t_p, ncontrib_p = blend(
+        blend = _make_blend(grid.n_tx, grid.n_ty, tile_h, tile_w, max_total_splats,
+                            max_tiles_per_gaussian)
+        # sg() on splat_rows: the VJP's (identically zero) cotangent for it
+        # must not be transposed back through the packing gather
+        color_t, final_t_t, ncontrib_t = blend(
             proj.xy, proj.conic, opacity, rgb,
-            binning.sorted_gauss, binning.tile_starts, binning.tile_lens,
-            binning.inv_pos,
+            sg(splat_rows), binning.sorted_gauss,
+            binning.tile_starts, binning.tile_lens,
+            binning.cnt,
         )
+    # kernels are tile-major; map back to image space (differentiable reshapes,
+    # so the loss cotangent arrives at the custom_vjp already tile-major)
+    color_p = unswizzle_tiles(color_t, grid.n_tx, grid.n_ty, tile_h, tile_w)
+    final_t_p = unswizzle_tiles(final_t_t, grid.n_tx, grid.n_ty, tile_h, tile_w)
+    ncontrib_p = unswizzle_tiles(ncontrib_t, grid.n_tx, grid.n_ty, tile_h, tile_w)
 
     H, W = intr.height, intr.width
     image = color_p[:, :H, :W]

@@ -13,9 +13,10 @@ identifyTileRanges (rasterizer_impl.cu:59-218, 395-429). Design (DESIGN.md §2):
     hidden D2H syncs, rasterizer_impl.cu:398,442, disappear — the splat list has a
     static budget `max_total_splats`).
   * Per-tile [start, len) ranges come from `searchsorted` over the sorted tile ids.
-  * A second sort yields the inverse permutation slot → sorted position, which the
-    backward pass uses to turn per-entry gradients into per-Gaussian sums with a
-    dense reshape — no atomics (vs backward.cu:585-595) and no scatter-add.
+  * Per-Gaussian surviving-entry counts (the run lengths the backward's segmented
+    carry-sort reduction needs) come from one dense key compare against the
+    budget-boundary key — no atomics (vs backward.cu:585-595), no scatter-add,
+    and no inverse-permutation sort.
 
 Everything here is non-differentiable bookkeeping; callers wrap it in stop_gradient.
 """
@@ -76,10 +77,12 @@ class Binning(NamedTuple):
     sorted_gauss: jnp.ndarray   # (M_pad,) int32 — Gaussian id per entry (P = dead)
     tile_starts: jnp.ndarray    # (T,) int32 — `align`-aligned offset of each tile
     tile_lens: jnp.ndarray      # (T,) int32 — live entries per tile (≤ padded span)
-    inv_pos: jnp.ndarray        # (P, K) int32 — aligned position of each slot (M_pad if dead)
+    cnt: jnp.ndarray            # (P,) int32 — entries per Gaussian that survived
+                                #   the budget cut (run lengths in sorted_gauss)
     num_valid: jnp.ndarray      # () int32 — live entries (pre-budget-truncation)
     overflow: jnp.ndarray      # () int32 — slots lost to rect truncation or budget
     tiles_touched: jnp.ndarray  # (P,) int32 — live tiles per Gaussian (exact culled)
+
 
 
 def gaussian_rects(
@@ -238,14 +241,17 @@ def bin_gaussians(
     m_eff = min(M, P * K)  # the sorted list can't exceed the slot count
     M_pad = ((m_eff + align - 1) // align) * align
 
-    # --- inverse permutation: slot → sorted position (a second P·K sort;
-    # measured 2-3× cheaper than the equivalent scatter or the gather-heavy
-    # re-layout alternatives on TPU — see PERF.md) ---
-    pos_ids = jnp.arange(P * K, dtype=jnp.int32)
-    _, inv_flat = jax.lax.sort((sorted_slots, pos_ids), num_keys=1)
-    dead = ~slot_valid.reshape(-1)
-    inv_flat = jnp.where(dead | (inv_flat >= m_eff), M_pad, inv_flat)
-    inv_pos = inv_flat.reshape(P, K)
+    # --- per-Gaussian surviving-entry counts (run lengths in sorted_gauss),
+    # needed by the blend backward's segmented reduction. Valid keys are UNIQUE
+    # (distinct (tile, depth-rank) pairs; ranks are distinct per Gaussian), so
+    # "slot's sorted position < m_eff" ⟺ "key < the m_eff-th smallest key" —
+    # a dense compare instead of a second P·K inverse-permutation sort. ---
+    if m_eff < P * K:
+        boundary = sorted_keys[m_eff]
+        survive = slot_valid & (keys.reshape(P, K) < boundary)
+    else:
+        survive = slot_valid
+    cnt = jnp.sum(survive, axis=1).astype(jnp.int32)
 
     # --- budget truncation + per-tile ranges (ranges stay UNALIGNED: the blend
     # kernels walk globally chunk-aligned windows and mask entries outside
@@ -271,7 +277,7 @@ def bin_gaussians(
         sorted_gauss=sorted_gauss,
         tile_starts=tile_starts,
         tile_lens=tile_lens,
-        inv_pos=inv_pos,
+        cnt=cnt,
         num_valid=num_valid,
         overflow=overflow,
         tiles_touched=tiles_touched,

@@ -28,8 +28,8 @@ design. The natural decomposition for tiled 3DGS rasterization on a TPU pod slic
 
 Gradient flow (all inside one jitted SPMD program, AD-derived):
   loss (replicated) → d/d image → all_gather^T = psum_scatter → per-band image
-  cotangent → Pallas blend backward (custom_vjp) → per-entry grads → inverse-
-  permutation gather → per-Gaussian partial grads → psum/D → full grads.
+  cotangent → Pallas blend backward (custom_vjp) → per-entry grads → carry-sort
+  segmented reduction → per-Gaussian partial grads → psum/D → full grads.
 
 Capacity growth, keyframe cadence, and densification are unchanged host-side logic
 (engine.trainer.MappingEngine accepts a mesh and swaps its train step for this one).
@@ -52,9 +52,9 @@ from gaussian_lic_tpu.ops import adam as adam_ops
 from gaussian_lic_tpu.ops import losses
 from gaussian_lic_tpu.ops import sh as sh_ops
 from gaussian_lic_tpu.ops import tiles as tiles_ops
-from gaussian_lic_tpu.ops.blend_pallas import CHUNK
+from gaussian_lic_tpu.ops.blend_pallas import CHUNK, unswizzle_tiles
 from gaussian_lic_tpu.ops.projection import OPACITY_THRESHOLD, project_gaussians
-from gaussian_lic_tpu.ops.rasterize import _make_blend, _splat_budget_for
+from gaussian_lic_tpu.ops.rasterize import _make_blend, _pack_rows, _splat_budget_for
 
 AXIS_TILES = "tiles"
 
@@ -89,10 +89,9 @@ def bin_gaussians_sharded(
       4. the band owner merges its D incoming streams with one small sort.
 
     Per-device sort volume drops from P·K to P·K/D + D·m_pair. Returns
-    band-local (sorted_gauss, tile_starts, tile_lens, inv_mask, num_valid,
-    overflow) where inv_mask (P, K) is 0 for slots present in THIS band's list
-    and M_pad otherwise (the blend backward only uses it for per-Gaussian
-    entry counts)."""
+    band-local (sorted_gauss, tile_starts, tile_lens, cnt, num_valid,
+    overflow) where cnt (P,) counts the slots present in THIS band's list
+    (per-Gaussian run lengths for the blend backward's reduction)."""
     P = xy.shape[0]
     K = max_tiles_per_gaussian
     assert P % n_dev == 0, "Gaussian capacity must divide the mesh"
@@ -177,11 +176,11 @@ def bin_gaussians_sharded(
         .at[jnp.where(present, fs, P * K)]
         .set(True, mode="drop", unique_indices=True)
     )
-    inv_mask = jnp.where(slot_present, 0, M_pad).reshape(P, K).astype(jnp.int32)
+    cnt = jnp.sum(slot_present.reshape(P, K).astype(jnp.int32), axis=1)
 
     num_valid = jnp.sum(present.astype(jnp.int32))
     # bucket_overflow is this device's SEND-side loss; callers psum over the mesh
-    return sorted_gauss, tile_starts, tile_lens, inv_mask, num_valid, bucket_overflow
+    return sorted_gauss, tile_starts, tile_lens, cnt, num_valid, bucket_overflow
 
 
 def render_band(
@@ -229,7 +228,7 @@ def render_band(
     sg = lax.stop_gradient
     if axis_name is not None and n_dev > 1:
         m_pair = max(-(-2 * max_total_splats // n_dev) // 256 * 256, 512)
-        (sorted_gauss, tile_starts, tile_lens, inv_mask, _num_valid,
+        (sorted_gauss, tile_starts, tile_lens, cnt, _num_valid,
          overflow) = bin_gaussians_sharded(
             sg(proj.xy), sg(proj.depth), sg(proj.conic), sg(opacity), sg(radius),
             base_active, grid,
@@ -251,7 +250,7 @@ def render_band(
         sorted_gauss, tile_starts, tile_lens = (
             binning.sorted_gauss, binning.tile_starts, binning.tile_lens
         )
-        inv_mask, overflow = binning.inv_pos, binning.overflow
+        cnt, overflow = binning.cnt, binning.overflow
         m_list = max_total_splats
     # The blend kernel derives pixel coords from band-local tile indices; shift
     # splat y into band-local pixel space (a constant shift — gradient-transparent).
@@ -259,23 +258,45 @@ def render_band(
     xy_local = proj.xy - jnp.stack(
         [jnp.zeros((), jnp.float32), y_off]
     )[None, :]
-    blend = _make_blend(grid.n_tx, band_n_ty, tile_h, tile_w, m_list)
-    color, final_t, _n_contrib = blend(
+    # pack splat rows by row gather, as in the single-chip path (band-local
+    # list is M/D entries, so the gather is even cheaper here)
+    rows = _pack_rows(sg(xy_local), sg(proj.conic), sg(opacity), sg(rgb))
+    splat_rows = jnp.take(rows, sorted_gauss, axis=0, mode="fill", fill_value=0.0)
+    blend = _make_blend(grid.n_tx, band_n_ty, tile_h, tile_w, m_list,
+                        max_tiles_per_gaussian)
+    # sg() stops the zero splat_rows cotangent from transposing the gather
+    color_t, final_t_t, _n_contrib = blend(
         xy_local, proj.conic, opacity, rgb,
-        sorted_gauss, tile_starts, tile_lens,
-        inv_mask,
+        sg(splat_rows), sorted_gauss, tile_starts, tile_lens,
+        cnt,
     )
+    color = unswizzle_tiles(color_t, grid.n_tx, band_n_ty, tile_h, tile_w)
+    final_t = unswizzle_tiles(final_t_t, grid.n_tx, band_n_ty, tile_h, tile_w)
     return color, final_t, visible, overflow
 
 
 def _band_geometry(intr: Intrinsics, cfg: Params, n_dev: int):
-    grid = tiles_ops.TileGrid(
-        width=intr.width, height=intr.height, tile_w=cfg.tile_w, tile_h=cfg.tile_h
-    )
-    if grid.n_ty % n_dev != 0:
+    """Pick a tile shape whose row count divides the mesh.
+
+    Band sharding needs `n_ty % n_dev == 0`. The configured square tile is
+    preferred (lowest splat-tile overlap); for short images we fall back to
+    flatter 1024-pixel tiles — (16,64) then (8,128) — which multiply the row
+    count without changing the kernels (they always compute on one (8,128)
+    f32 vreg per tile)."""
+    shapes = [(cfg.tile_h, cfg.tile_w), (16, 64), (8, 128)]
+    grid = None
+    for th, tw in shapes:
+        g = tiles_ops.TileGrid(
+            width=intr.width, height=intr.height, tile_w=tw, tile_h=th
+        )
+        if g.n_ty % n_dev == 0:
+            grid = g
+            break
+    if grid is None:
         raise ValueError(
-            f"tile rows ({grid.n_ty}) not divisible by mesh size ({n_dev}); "
-            f"pad the image height to a multiple of {cfg.tile_h * n_dev}"
+            f"no 1024-pixel tile shape gives tile rows divisible by the mesh "
+            f"({n_dev} devices, image {intr.width}x{intr.height}); pad the "
+            f"image height to a multiple of {8 * n_dev}"
         )
     return grid, grid.n_ty // n_dev
 
@@ -287,6 +308,7 @@ def make_sharded_train_step(intr: Intrinsics, cfg: Params, mesh: Mesh,
     (gm', opt_state', metrics)."""
     n_dev = int(mesh.devices.size)
     grid, band_n_ty = _band_geometry(intr, cfg, n_dev)
+    tile_h, tile_w = grid.tile_h, grid.tile_w
     lrs = LearningRates.from_params(cfg)
     H, W = intr.height, intr.width
     lr_map = dict(
@@ -308,7 +330,7 @@ def make_sharded_train_step(intr: Intrinsics, cfg: Params, mesh: Mesh,
                 dc=gm2.dc, sh_rest=gm2.sh_rest, sh_degree=gm2.sh_degree,
                 active=gm2.active_mask(),
                 band_ty0=ty0, band_n_ty=band_n_ty,
-                tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+                tile_h=tile_h, tile_w=tile_w,
                 max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
                 max_total_splats=m_local,
                 axis_name=axis_name, n_dev=n_dev,
@@ -383,7 +405,8 @@ def make_sharded_render(intr: Intrinsics, cfg: Params, mesh: Mesh,
     """Jitted SPMD forward render: (gm, kf, idx) → full (3, H, W) image.
     Tile bands in parallel across the mesh, stitched by one all_gather."""
     n_dev = int(mesh.devices.size)
-    _grid, band_n_ty = _band_geometry(intr, cfg, n_dev)
+    grid, band_n_ty = _band_geometry(intr, cfg, n_dev)
+    tile_h, tile_w = grid.tile_h, grid.tile_w
     H, W = intr.height, intr.width
 
     def device_body(gm: GaussianMap, kf, idx):
@@ -396,7 +419,7 @@ def make_sharded_render(intr: Intrinsics, cfg: Params, mesh: Mesh,
             dc=gm.dc, sh_rest=gm.sh_rest, sh_degree=gm.sh_degree,
             active=gm.active_mask(),
             band_ty0=ty0, band_n_ty=band_n_ty,
-            tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+            tile_h=tile_h, tile_w=tile_w,
             max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
             max_total_splats=m_local,
             axis_name=axis_name, n_dev=n_dev,

@@ -31,6 +31,10 @@ def setup():
         width=128, height=64, fx=60.0, fy=60.0, cx=64.0, cy=32.0,
         skybox_points_num=0, initial_capacity=512,
         max_tiles_per_gaussian=16, max_train_keyframes=4,
+        # (8,128) tiles: 8 tile rows so every mesh size here divides them AND
+        # the single-chip reference uses the identical tile partition (different
+        # partitions differ slightly through the K-slot truncation)
+        tile_h=8, tile_w=128,
     )
     intr = Intrinsics(width=128, height=64, fx=60.0, fy=60.0, cx=64.0, cy=32.0)
 
@@ -137,6 +141,7 @@ class TestEngineWithMesh:
             width=128, height=64, fx=60.0, fy=60.0, cx=64.0, cy=32.0,
             skybox_points_num=0, initial_capacity=2048, densify_budget=512,
             max_train_keyframes=8, max_iters_per_keyframe=6,
+            tile_h=8, tile_w=128,  # same tile partition on both engines
         )
         rng = np.random.default_rng(11)
         world = make_world(rng, n_points=250)

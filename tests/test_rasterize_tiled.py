@@ -93,22 +93,16 @@ class TestBinning:
                 assert xy[g, 1] + radius[g] >= ty * grid.tile_h - 1
                 assert xy[g, 1] - radius[g] <= (ty + 1) * grid.tile_h
 
-    def test_inv_pos_roundtrip(self, rng):
+    def test_cnt_matches_sorted_list(self, rng):
+        # cnt[g] (the backward's segmented-reduction run lengths) must equal the
+        # number of surviving entries carrying id g in the sorted splat list
         _, _, _, _, b = self._bin(rng)
-        inv = np.asarray(b.inv_pos)
         gauss = np.asarray(b.sorted_gauss)
-        P, K = inv.shape
-        M_pad = gauss.shape[0]
-        seen = set()
-        for g in range(P):
-            for k in range(K):
-                pos = inv[g, k]
-                if pos < M_pad:
-                    assert gauss[pos] == g
-                    assert pos not in seen  # each entry owned by exactly one slot
-                    seen.add(pos)
-        # every live entry is claimed by some slot
-        assert len(seen) == int(np.sum(np.asarray(b.tile_lens)))
+        cnt = np.asarray(b.cnt)
+        P = cnt.shape[0]
+        hist = np.bincount(gauss[gauss < P], minlength=P)
+        np.testing.assert_array_equal(cnt, hist)
+        assert int(cnt.sum()) == int(np.sum(np.asarray(b.tile_lens)))
 
     def test_overflow_counts_truncated_rects(self, rng):
         cam = frontal_camera()

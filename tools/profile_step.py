@@ -1,0 +1,210 @@
+"""Per-stage TPU timing of one train iteration at bench scale.
+
+Times each hot-path stage in isolation (fresh inputs per call so dispatch
+isn't memoized, forced result fetch so the timing includes the device work),
+then the whole train step. Keeps PERF.md's step-breakdown table honest.
+
+Usage (from /root/repo, axon TPU default):
+    python tools/profile_step.py [--n-gauss 1048576] [--iters 10]
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import time
+
+import numpy as np
+
+
+def timeit(fn, make_args, iters=10, warmup=2):
+    import jax
+
+    for _ in range(warmup):
+        out = fn(*make_args())
+    jax.block_until_ready(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*make_args())
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters * 1e3  # ms
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--n-gauss", type=int, default=1 << 20)
+    ap.add_argument("--iters", type=int, default=10)
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    from bench import build_bench_state
+    from gaussian_lic_tpu.camera import Intrinsics
+    from gaussian_lic_tpu.config import load_params
+    from gaussian_lic_tpu.engine.dataset import build_camera, FrameInput
+    from gaussian_lic_tpu.engine.trainer import PARAM_GROUPS, _make_train_step
+    from gaussian_lic_tpu.ops import adam as adam_ops
+    from gaussian_lic_tpu.ops import sh as sh_ops
+    from gaussian_lic_tpu.ops import tiles as tiles_ops
+    from gaussian_lic_tpu.ops.blend_pallas import (
+        CHUNK, SUB, SPLAT_ROWS, blend_backward, blend_forward,
+    )
+    from gaussian_lic_tpu.ops.projection import OPACITY_THRESHOLD, project_gaussians
+    from gaussian_lic_tpu.ops.rasterize import (
+        _pack_rows, _splat_budget_for, render_map,
+    )
+
+    n_gauss = args.n_gauss
+    cfg = load_params(preset="fastlivo", initial_capacity=n_gauss,
+                      skybox_points_num=0)
+    intr = Intrinsics(width=cfg.width, height=cfg.height,
+                      fx=cfg.fx, fy=cfg.fy, cx=cfg.cx, cy=cfg.cy)
+    gm, kf = build_bench_state(n_gauss, cfg, intr)
+    cam = kf.camera(intr, 0)
+
+    grid = tiles_ops.TileGrid(width=intr.width, height=intr.height,
+                              tile_w=cfg.tile_w, tile_h=cfg.tile_h)
+    M = _splat_budget_for(gm.capacity, cfg)
+    print(f"P={n_gauss}  grid={grid.n_tx}x{grid.n_ty}  M={M}")
+
+    rng = np.random.default_rng(0)
+
+    def jitter(gm):
+        # fresh param values each call → no dispatch memoization
+        eps = jnp.float32(rng.uniform(0, 1e-6))
+        return gm.replace(xyz=gm.xyz + eps)
+
+    # --- stage 1: projection + SH forward ---
+    @jax.jit
+    def stage_proj(gm):
+        proj = project_gaussians(gm.xyz, gm.scaling, gm.rotation, cam)
+        dirs = gm.xyz - cam.cam_center
+        rgb = sh_ops.eval_sh_color(gm.sh_degree, gm.dc, gm.sh_rest, dirs)
+        return proj.xy, proj.conic, proj.depth, proj.radius, rgb
+
+    print(f"proj+SH fwd:        {timeit(stage_proj, lambda: (jitter(gm),), args.iters):8.1f} ms")
+
+    proj_out = stage_proj(gm)
+    xy, conic, depth, radius, rgb = proj_out
+    opacity = gm.opacity
+    base_active = (radius > 0) & (opacity >= OPACITY_THRESHOLD) & gm.active_mask()
+    radius = jnp.where(base_active, radius, 0.0)
+
+    # --- stage 2: binning ---
+    @jax.jit
+    def stage_bin(xy, depth, conic, opacity, radius, base_active):
+        return tiles_ops.bin_gaussians(
+            xy, depth, conic, opacity, radius, base_active, grid,
+            max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
+            max_total_splats=M, align=CHUNK,
+        )
+
+    def bin_args():
+        eps = jnp.float32(rng.uniform(0, 1e-6))
+        return (xy + eps, depth, conic, opacity, radius, base_active)
+
+    print(f"bin_gaussians:      {timeit(stage_bin, bin_args, args.iters):8.1f} ms")
+    binning = stage_bin(*bin_args())
+
+    # --- stage 3: pack + gather ---
+    @jax.jit
+    def stage_pack(xy, conic, opacity, rgb, sorted_gauss):
+        rows = _pack_rows(xy, conic, opacity, rgb)
+        return jnp.take(rows, sorted_gauss, axis=0, mode="fill", fill_value=0.0)
+
+    def pack_args():
+        eps = jnp.float32(rng.uniform(0, 1e-6))
+        return (xy + eps, conic, opacity, rgb, binning.sorted_gauss)
+
+    print(f"pack+gather:        {timeit(stage_pack, pack_args, args.iters):8.1f} ms")
+    splat_rows = stage_pack(*pack_args())
+    m_pad = splat_rows.shape[0]
+    splats = splat_rows.reshape(m_pad // SUB, SUB * SPLAT_ROWS)
+
+    # --- stage 4: blend forward kernel ---
+    @jax.jit
+    def stage_fwd(splats, starts, lens):
+        return blend_forward(splats, starts, lens, n_tx=grid.n_tx,
+                             n_ty=grid.n_ty, tile_h=cfg.tile_h, tile_w=cfg.tile_w)
+
+    def fwd_args():
+        eps = jnp.float32(rng.uniform(0, 1e-7))
+        return (splats + eps, binning.tile_starts, binning.tile_lens)
+
+    print(f"blend fwd kernel:   {timeit(stage_fwd, fwd_args, args.iters):8.1f} ms")
+    color_t, final_t_t, ncontrib_t = stage_fwd(*fwd_args())
+
+    # --- stage 5: blend backward kernel ---
+    d_color = jnp.ones_like(color_t)
+
+    @jax.jit
+    def stage_bwd(splats, starts, lens, d_color, final_t, ncontrib):
+        return blend_backward(splats, starts, lens, d_color, final_t, ncontrib,
+                              n_tx=grid.n_tx, n_ty=grid.n_ty,
+                              tile_h=cfg.tile_h, tile_w=cfg.tile_w)
+
+    def bwd_args():
+        eps = jnp.float32(rng.uniform(0, 1e-7))
+        return (splats + eps, binning.tile_starts, binning.tile_lens,
+                d_color, final_t_t, ncontrib_t)
+
+    print(f"blend bwd kernel:   {timeit(stage_bwd, bwd_args, args.iters):8.1f} ms")
+    entry_grads = stage_bwd(*bwd_args())
+
+    # --- stage 6: per-Gaussian grad reduction (carry-sort + segscan + gather) ---
+    K = cfg.max_tiles_per_gaussian
+
+    @jax.jit
+    def stage_reduce(entry_grads, sorted_gauss, cnt):
+        outs = jax.lax.sort(
+            (sorted_gauss,) + tuple(entry_grads[i] for i in range(9)), num_keys=1)
+        skey, scols = outs[0], list(outs[1:])
+        j = 1
+        while j < K:
+            same = jnp.concatenate([jnp.zeros((j,), bool), skey[j:] == skey[:-j]])
+            for qi in range(9):
+                shifted = jnp.concatenate(
+                    [jnp.zeros((j,), jnp.float32), scols[qi][:-j]])
+                scols[qi] = scols[qi] + jnp.where(same, shifted, 0.0)
+            j *= 2
+        off = jnp.cumsum(cnt) - cnt
+        last = jnp.clip(off + cnt - 1, 0, m_pad - 1)
+        stacked = jnp.stack(scols, axis=1)
+        g = jnp.take(stacked, last, axis=0, mode="clip")
+        return jnp.where((cnt > 0)[:, None], g, 0.0)
+
+    def red_args():
+        eps = jnp.float32(rng.uniform(0, 1e-7))
+        return (entry_grads + eps, binning.sorted_gauss, binning.cnt)
+
+    print(f"grad reduction:     {timeit(stage_reduce, red_args, args.iters):8.1f} ms")
+
+    # --- stage 7: full forward render ---
+    @jax.jit
+    def stage_render(gm):
+        out = render_map(gm, cam)
+        return out.image
+
+    print(f"full render fwd:    {timeit(stage_render, lambda: (jitter(gm),), args.iters):8.1f} ms")
+
+    # --- whole train step ---
+    opt = {name: adam_ops.AdamState(jnp.zeros_like(gm.trainable()[name]),
+                                    jnp.zeros_like(gm.trainable()[name]))
+           for name in PARAM_GROUPS}
+    step = _make_train_step(intr, cfg)
+    state = {"i": 0}
+
+    def step_fn(gm, opt):
+        state["i"] += 1
+        return step(gm, opt, kf, jnp.asarray(state["i"] % 4, jnp.int32),
+                    jnp.asarray(state["i"], jnp.int32))
+
+    ms = timeit(step_fn, lambda: (jitter(gm), opt), args.iters)
+    print(f"WHOLE STEP:         {ms:8.1f} ms  ({1e3 / ms:.2f} it/s)")
+
+
+if __name__ == "__main__":
+    main()
