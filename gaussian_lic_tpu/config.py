@@ -65,6 +65,13 @@ class Params:
     # gradient gather scale linearly in K.
     max_tiles_per_gaussian: int = 8
     splat_chunk: int = 16        # splats blended per vectorized step in the Pallas kernel
+    # Sorted-splat-list budget as a multiple of capacity. Measured live entries
+    # are ~1.4/Gaussian at 1M (32×32 tiles); 2.0 gives headroom while keeping
+    # the binning/pack/reduction volumes (all linear in the budget) tight. The
+    # streaming engine auto-grows this ×1.5 (capped at max_tiles_per_gaussian)
+    # and recompiles when a step reports binning overflow — the static-shape
+    # analogue of the reference's lazy buffer resize (rasterize_points.cu:40-48).
+    splat_budget_factor: float = 2.0
 
     # --- capacity management (DESIGN.md §1) ---
     initial_capacity: int = 1 << 18     # Gaussian array capacity at startup

@@ -398,15 +398,48 @@ class MappingEngine:
         self.timers.optimize_steps += time.perf_counter() - t0
         updated = sum(int(v) for v in visible_counts)
         self.last_metrics = {k: float(v) for k, v in metrics.items()}
-        if self.last_metrics.get("overflow", 0) > 0 and not self._overflow_warned:
+        if self.last_metrics.get("overflow", 0) > 0:
+            self._handle_overflow(int(self.last_metrics["overflow"]))
+        return updated / max(len(opt_list), 1)
+
+    def _handle_overflow(self, overflow: int) -> None:
+        """Binning overflow → grow the splat-list budget ×1.5 and recompile at
+        the new static shape (the reference resizes its splat buffers lazily the
+        same way, rasterize_points.cu:40-48). Once the budget hits the
+        per-Gaussian slot cap, remaining overflow means rect truncation — only
+        a larger `max_tiles_per_gaussian` can fix that, so warn instead."""
+        cfg = self.cfg
+        if cfg.splat_budget_factor < cfg.max_tiles_per_gaussian:
+            # grow from the EFFECTIVE budget (the factor may sit below the
+            # 4096-entry floor of _splat_budget_for at small capacities)
+            cap = max(self.gm.capacity, 1)
+            eff = _splat_budget(cap, cfg) / cap
+            new_f = min(
+                max(cfg.splat_budget_factor, eff) * 1.5,
+                float(cfg.max_tiles_per_gaussian),
+            )
+            self.cfg = cfg.replace(splat_budget_factor=new_f)
+            self.timers.compiles += 1
+            if self.mesh is not None:
+                from gaussian_lic_tpu.parallel import make_sharded_train_step
+
+                self._sharded_step = make_sharded_train_step(
+                    self.intr, self.cfg, self.mesh
+                )
+            print(
+                f"[gaussian-lic-tpu] binning overflow ({overflow} slots): "
+                f"splat budget grows {cfg.splat_budget_factor:g} -> {new_f:g} "
+                "entries/Gaussian (one recompile)"
+            )
+        elif not self._overflow_warned:
             self._overflow_warned = True
             print(
-                f"[gaussian-lic-tpu] WARNING: binning overflow "
-                f"({int(self.last_metrics['overflow'])} slots) — large-footprint "
-                "Gaussians (e.g. skybox) exceed max_tiles_per_gaussian="
-                f"{cfg.max_tiles_per_gaussian}; raise it (16/32) to render them fully"
+                f"[gaussian-lic-tpu] WARNING: binning overflow ({overflow} "
+                "slots) at the slot cap — large-footprint Gaussians (e.g. "
+                "skybox) exceed max_tiles_per_gaussian="
+                f"{cfg.max_tiles_per_gaussian}; raise it (16/32) to render "
+                "them fully"
             )
-        return updated / max(len(opt_list), 1)
 
     # ---------------------------------------------------------------- finalize
 

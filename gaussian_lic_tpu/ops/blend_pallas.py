@@ -191,12 +191,15 @@ def _forward_kernel(
             for s in range(SUB):
                 x, y, A, B, Cc, opa, r, g, b = _splat_attrs(block, s, no_color)
                 j = g_idx * SUB + s
-                in_window = (j >= lo) & (j < hi)
+                # fold the (scalar) chunk-window test into the opacity operand:
+                # out-of-window → α = 0 → fails the α ≥ 1/255 test identically,
+                # one vector AND cheaper per splat
+                opa = jnp.where((j >= lo) & (j < hi), opa, 0.0)
                 dx = x - px
                 dy = y - py
                 power = -0.5 * (A * dx * dx + Cc * dy * dy) - B * dx * dy
                 alpha = jnp.minimum(ALPHA_CAP, opa * jnp.exp(power))
-                contrib = (alpha >= OPACITY_THRESHOLD) & (power <= 0.0) & in_window
+                contrib = (alpha >= OPACITY_THRESHOLD) & (power <= 0.0)
                 test_T = T * (1.0 - alpha)
                 would_term = contrib & (test_T < T_EPS)
                 applied = contrib & (done < 0.5) & jnp.logical_not(would_term)
@@ -357,7 +360,8 @@ def _backward_kernel(
                 s = SUB - 1 - sr  # back-to-front within the group
                 x, y, A, B, Cc, opa, rr, gg, bb = _splat_attrs(block, s, False)
                 j = g_idx * SUB + s
-                in_window = (j >= lo) & (j < hi)
+                # scalar window test folded into opacity (see forward kernel)
+                opa = jnp.where((j >= lo) & (j < hi), opa, 0.0)
                 dx = x - px
                 dy = y - py
                 power = -0.5 * (A * dx * dx + Cc * dy * dy) - B * dx * dy
@@ -367,18 +371,20 @@ def _backward_kernel(
                 applied = (
                     (alpha >= OPACITY_THRESHOLD)
                     & (power <= 0.0)
-                    & in_window
                     & (pos <= ncontrib)
                 )
                 one_minus = 1.0 - alpha
+                # one reciprocal replaces the four /(1−α) divides per splat
+                # (VPU divides are many-op; α ≤ 0.99 keeps 1−α ≥ 0.01)
+                inv_om = 1.0 / one_minus
                 # reconstruct T before this splat (Inria backward walk)
-                T_run = jnp.where(applied, T_run / one_minus, T_run)
+                T_run = jnp.where(applied, T_run * inv_om, T_run)
                 w = alpha * T_run
                 # per-pixel dL/dalpha = Σc (c·T − S_c/(1−α))·dL_dpix_c
                 dalpha = (
-                    (rr * T_run - Sr / one_minus) * dlr
-                    + (gg * T_run - Sg / one_minus) * dlg
-                    + (bb * T_run - Sb / one_minus) * dlb
+                    (rr * T_run - Sr * inv_om) * dlr
+                    + (gg * T_run - Sg * inv_om) * dlg
+                    + (bb * T_run - Sb * inv_om) * dlb
                 )
                 dalpha = jnp.where(applied, dalpha, 0.0)
                 wsel = jnp.where(applied, w, 0.0)

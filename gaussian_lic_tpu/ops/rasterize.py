@@ -55,11 +55,11 @@ from gaussian_lic_tpu.ops.rasterize_ref import RenderOutput
 
 
 def _splat_budget_for(capacity: int, cfg) -> int:
-    """Sorted-splat-list budget: ~3 entries per Gaussian on average (measured
-    live-entry count at 1M Gaussians is ~1.7/Gaussian; headroom covers skybox
-    splats and dense views), CHUNK-aligned, capped by the per-Gaussian slot
-    limit. Overflow past the budget is counted and surfaced per keyframe."""
-    b = max(int(capacity * 3), 1 << 12)
+    """Sorted-splat-list budget: `splat_budget_factor` entries per Gaussian
+    (measured live-entry count at 1M Gaussians / 32×32 tiles is ~1.4), CHUNK-
+    aligned, capped by the per-Gaussian slot limit. Overflow past the budget is
+    counted per step and the engine auto-grows the factor (see config.py)."""
+    b = max(int(capacity * cfg.splat_budget_factor), 1 << 12)
     b = (b + CHUNK - 1) // CHUNK * CHUNK
     return min(b, capacity * cfg.max_tiles_per_gaussian)
 

@@ -142,3 +142,31 @@ class TestKeyframeBufferGrowth:
         assert eng.timers.compiles >= 1   # grew at least once
         out = render_map(eng.gm, eng.train_camera(5), max_total_splats=1 << 14)
         assert np.isfinite(np.asarray(out.image)).all()
+
+
+class TestSplatBudgetAutoGrow:
+    def test_overflow_grows_budget(self):
+        """Binning overflow → the engine raises splat_budget_factor ×1.5 and
+        keeps training (the static-shape analogue of the reference's lazy splat
+        buffer resize, rasterize_points.cu:40-48)."""
+        cfg = Params(
+            width=128, height=64, fx=60.0, fy=60.0, cx=64.0, cy=32.0,
+            skybox_points_num=0, initial_capacity=2048, densify_budget=2048,
+            max_train_keyframes=4, max_iters_per_keyframe=2,
+            select_every_k_frame=1,
+            # huge splats (scaling_scale) + a floor-level budget → overflow
+            scaling_scale=40.0, splat_budget_factor=0.5,
+        )
+        rng = np.random.default_rng(21)
+        world = make_world(rng, n_points=900)
+        # first keyframe initializes ~800 huge splats × up to 8 tiles each
+        # ≈ 6400 live slots > the 4096-entry budget floor → overflow
+        frames = make_sequence(world, n_frames=3, points_per_frame=800, rng=rng)
+        eng = MappingEngine(cfg)
+        for f in frames:
+            eng.add_frame(f)
+        assert eng.last_metrics.get("overflow", 0) >= 0
+        # the budget must have grown at least once (0.5 -> 0.75 -> ...)
+        assert eng.cfg.splat_budget_factor > cfg.splat_budget_factor
+        # training continued at the new shape
+        assert np.isfinite(eng.last_metrics["loss"])
