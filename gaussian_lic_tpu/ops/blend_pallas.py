@@ -66,7 +66,12 @@ VREG_H, VREG_W = 8, 128   # native f32 vreg tile; every tile holds 1024 pixels
 TILE_PIX = VREG_H * VREG_W
 
 
-def _interpret() -> bool:
+def _interpret(override=None) -> bool:
+    """Interpret-mode decision for the Pallas calls. Callers that know the
+    target devices (e.g. a CPU shard_map mesh on a TPU-default host) pass the
+    decision explicitly; the default keys on the process default backend."""
+    if override is not None:
+        return bool(override)
     return jax.default_backend() == "cpu"
 
 
@@ -239,7 +244,7 @@ def _forward_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_tx", "n_ty", "tile_h", "tile_w", "no_color"),
+    static_argnames=("n_tx", "n_ty", "tile_h", "tile_w", "no_color", "interpret"),
 )
 def blend_forward(
     splats: jnp.ndarray,       # (M_pad//SUB, SUB*16) f32 packed sorted splats
@@ -251,6 +256,7 @@ def blend_forward(
     tile_h: int = 8,
     tile_w: int = 128,
     no_color: bool = False,
+    interpret=None,
 ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Returns TILE-MAJOR (color (3, T, 8, 128), final_T (T, 8, 128),
     n_contrib (T, 8, 128) int32); map to image space with unswizzle_tiles."""
@@ -287,7 +293,7 @@ def blend_forward(
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary",),
         ),
-        interpret=_interpret(),
+        interpret=_interpret(interpret),
     )(tile_starts, tile_lens, splats)
     return color, final_t, n_contrib
 
@@ -436,7 +442,7 @@ def _backward_kernel(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_tx", "n_ty", "tile_h", "tile_w"),
+    static_argnames=("n_tx", "n_ty", "tile_h", "tile_w", "interpret"),
 )
 def blend_backward(
     splats: jnp.ndarray,       # (M_pad//SUB, SUB*16) packed rows
@@ -450,6 +456,7 @@ def blend_backward(
     n_ty: int,
     tile_h: int = 8,
     tile_w: int = 128,
+    interpret=None,
 ) -> jnp.ndarray:
     """Returns per-entry gradients (SPLAT_ROWS, M_pad). Pixel inputs are
     TILE-MAJOR (swizzle_tiles of the image-space arrays)."""
@@ -490,6 +497,6 @@ def blend_backward(
         ),
         # indices count the scalar-prefetch args too: grads_init is input 6
         input_output_aliases={6: 0},  # grads_init buffer IS the output
-        interpret=_interpret(),
+        interpret=_interpret(interpret),
     )(tile_starts, tile_lens, splats, dl_dcolor, final_t, n_contrib, grads_init)[0]
     return grads

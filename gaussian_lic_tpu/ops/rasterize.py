@@ -90,7 +90,7 @@ def _pack_rows(xy, conic, opacity, rgb):
 
 @functools.lru_cache(maxsize=32)
 def _make_blend(n_tx: int, n_ty: int, tile_h: int, tile_w: int, max_total_splats: int,
-                max_tiles_per_gaussian: int = 16):
+                max_tiles_per_gaussian: int = 16, interpret=None):
     """custom_vjp blend closed over the static tile-grid configuration.
     `max_tiles_per_gaussian` bounds per-Gaussian run lengths in the sorted list
     (the backward's segmented scan needs log2 of it steps)."""
@@ -107,6 +107,7 @@ def _make_blend(n_tx: int, n_ty: int, tile_h: int, tile_w: int, max_total_splats
         color, final_t, n_contrib = blend_forward(
             splats, tile_starts, tile_lens,
             n_tx=n_tx, n_ty=n_ty, tile_h=tile_h, tile_w=tile_w,
+            interpret=interpret,
         )
         return color, final_t, n_contrib, splats
 
@@ -137,6 +138,7 @@ def _make_blend(n_tx: int, n_ty: int, tile_h: int, tile_w: int, max_total_splats
             splats, tile_starts, tile_lens,
             d_color, final_t, n_contrib,
             n_tx=n_tx, n_ty=n_ty, tile_h=tile_h, tile_w=tile_w,
+            interpret=interpret,
         )  # (SPLAT_ROWS, M_pad), attribute-major
         m_pad = sorted_gauss.shape[0]
 
@@ -207,6 +209,7 @@ def render_tiled(
     tile_w: int = 32,
     max_tiles_per_gaussian: int = 16,
     max_total_splats: int = 1 << 21,
+    interpret=None,   # Pallas interpret override (None → by default backend)
 ) -> TiledRenderOutput:
     """Full differentiable render. Matches reference `render` outputs
     (renderer.cpp:81-87): image, final_T, (screenspace grads are implicit in JAX),
@@ -255,11 +258,11 @@ def render_tiled(
         color_t, final_t_t, ncontrib_t = blend_forward(
             splats, binning.tile_starts, binning.tile_lens,
             n_tx=grid.n_tx, n_ty=grid.n_ty, tile_h=tile_h, tile_w=tile_w,
-            no_color=True,
+            no_color=True, interpret=interpret,
         )
     else:
         blend = _make_blend(grid.n_tx, grid.n_ty, tile_h, tile_w, max_total_splats,
-                            max_tiles_per_gaussian)
+                            max_tiles_per_gaussian, interpret)
         # sg() on splat_rows: the VJP's (identically zero) cotangent for it
         # must not be transposed back through the packing gather
         color_t, final_t_t, ncontrib_t = blend(

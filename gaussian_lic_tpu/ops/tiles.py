@@ -80,7 +80,11 @@ class Binning(NamedTuple):
     cnt: jnp.ndarray            # (P,) int32 — entries per Gaussian that survived
                                 #   the budget cut (run lengths in sorted_gauss)
     num_valid: jnp.ndarray      # () int32 — live entries (pre-budget-truncation)
-    overflow: jnp.ndarray      # () int32 — slots lost to rect truncation or budget
+    overflow: jnp.ndarray       # () int32 — total slots lost (truncated+budget)
+    budget_lost: jnp.ndarray    # () int32 — live slots cut by max_total_splats;
+                                #   fixable by growing the splat budget
+    truncated: jnp.ndarray      # () int32 — rect tiles beyond the K-slot limit;
+                                #   only a larger max_tiles_per_gaussian helps
     tiles_touched: jnp.ndarray  # (P,) int32 — live tiles per Gaussian (exact culled)
 
 

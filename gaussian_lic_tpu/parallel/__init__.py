@@ -3,6 +3,7 @@ from gaussian_lic_tpu.parallel.sharded import (
     make_mesh,
     make_sharded_render,
     make_sharded_train_step,
+    mesh_interpret,
     render_band,
 )
 
@@ -11,5 +12,6 @@ __all__ = [
     "make_mesh",
     "make_sharded_render",
     "make_sharded_train_step",
+    "mesh_interpret",
     "render_band",
 ]

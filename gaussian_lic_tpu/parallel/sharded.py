@@ -59,13 +59,30 @@ from gaussian_lic_tpu.ops.rasterize import _make_blend, _pack_rows, _splat_budge
 AXIS_TILES = "tiles"
 
 
-def make_mesh(n_devices: Optional[int] = None, axis_name: str = AXIS_TILES) -> Mesh:
-    """1-D device mesh over the tile-band axis (v5e-8: all 8 chips on ICI)."""
-    devs = jax.devices()
+def make_mesh(
+    n_devices: Optional[int] = None,
+    axis_name: str = AXIS_TILES,
+    platform: Optional[str] = None,
+) -> Mesh:
+    """1-D device mesh over the tile-band axis (v5e-8: all 8 chips on ICI).
+
+    `platform` selects the backend explicitly (e.g. "cpu" for the virtual
+    host-device mesh used by tests and the multichip dryrun) — never rely on
+    `jax.devices()`' default ordering when a TPU plugin is also registered."""
+    devs = jax.devices(platform) if platform else jax.devices()
     n = len(devs) if n_devices is None else n_devices
     if n > len(devs):
-        raise ValueError(f"requested {n} devices, have {len(devs)}")
+        raise ValueError(
+            f"requested {n} devices, have {len(devs)}"
+            + (f" on platform {platform}" if platform else "")
+        )
     return Mesh(np.asarray(devs[:n]), (axis_name,))
+
+
+def mesh_interpret(mesh: Mesh) -> bool:
+    """True when Pallas kernels targeting this mesh must run in interpret mode
+    (host/CPU devices — Mosaic lowering only exists for TPU)."""
+    return mesh.devices.flat[0].platform == "cpu"
 
 
 def bin_gaussians_sharded(
@@ -202,6 +219,7 @@ def render_band(
     max_total_splats: int,   # per-band splat budget
     axis_name: Optional[str] = None,   # set → distributed binning over the mesh
     n_dev: int = 1,
+    interpret=None,          # Pallas interpret override (from the mesh platform)
 ):
     """Per-device differentiable render of one horizontal band of tile rows.
 
@@ -263,7 +281,7 @@ def render_band(
     rows = _pack_rows(sg(xy_local), sg(proj.conic), sg(opacity), sg(rgb))
     splat_rows = jnp.take(rows, sorted_gauss, axis=0, mode="fill", fill_value=0.0)
     blend = _make_blend(grid.n_tx, band_n_ty, tile_h, tile_w, m_list,
-                        max_tiles_per_gaussian)
+                        max_tiles_per_gaussian, interpret)
     # sg() stops the zero splat_rows cotangent from transposing the gather
     color_t, final_t_t, _n_contrib = blend(
         xy_local, proj.conic, opacity, rgb,
@@ -309,6 +327,7 @@ def make_sharded_train_step(intr: Intrinsics, cfg: Params, mesh: Mesh,
     n_dev = int(mesh.devices.size)
     grid, band_n_ty = _band_geometry(intr, cfg, n_dev)
     tile_h, tile_w = grid.tile_h, grid.tile_w
+    interpret = mesh_interpret(mesh)
     lrs = LearningRates.from_params(cfg)
     H, W = intr.height, intr.width
     lr_map = dict(
@@ -333,7 +352,7 @@ def make_sharded_train_step(intr: Intrinsics, cfg: Params, mesh: Mesh,
                 tile_h=tile_h, tile_w=tile_w,
                 max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
                 max_total_splats=m_local,
-                axis_name=axis_name, n_dev=n_dev,
+                axis_name=axis_name, n_dev=n_dev, interpret=interpret,
             )
             img = lax.all_gather(color_l, axis_name, axis=1, tiled=True)
             image = img[:, :H, :W]
@@ -407,6 +426,7 @@ def make_sharded_render(intr: Intrinsics, cfg: Params, mesh: Mesh,
     n_dev = int(mesh.devices.size)
     grid, band_n_ty = _band_geometry(intr, cfg, n_dev)
     tile_h, tile_w = grid.tile_h, grid.tile_w
+    interpret = mesh_interpret(mesh)
     H, W = intr.height, intr.width
 
     def device_body(gm: GaussianMap, kf, idx):
@@ -422,7 +442,7 @@ def make_sharded_render(intr: Intrinsics, cfg: Params, mesh: Mesh,
             tile_h=tile_h, tile_w=tile_w,
             max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
             max_total_splats=m_local,
-            axis_name=axis_name, n_dev=n_dev,
+            axis_name=axis_name, n_dev=n_dev, interpret=interpret,
         )
         img = lax.all_gather(color_l, axis_name, axis=1, tiled=True)[:, :H, :W]
         ft = lax.all_gather(final_t_l, axis_name, axis=0, tiled=True)[:H, :W]
