@@ -125,6 +125,8 @@ def _make_train_step(intr: Intrinsics, cfg: Params):
             "loss": loss,
             "n_visible": jnp.sum(visible.astype(jnp.int32)),
             "overflow": out.overflow,
+            "budget_lost": out.budget_lost,
+            "truncated": out.truncated,
         }
         return gm_new, new_opt, metrics
 
@@ -383,6 +385,8 @@ class MappingEngine:
 
         train_step = self._sharded_step or _make_train_step(self.intr, cfg)
         visible_counts = []
+        budget_losses = []
+        truncations = []
         t0 = time.perf_counter()
         for idx in opt_list:
             self.exposure_steps += 1
@@ -394,21 +398,43 @@ class MappingEngine:
             # keep metrics on device: a host read here would sync every step
             # and serialize dispatch with execution (≥1 RTT per iteration)
             visible_counts.append(metrics["n_visible"])
+            budget_losses.append(metrics["budget_lost"])
+            truncations.append(metrics["truncated"])
         jax.block_until_ready(self.gm.xyz)
         self.timers.optimize_steps += time.perf_counter() - t0
         updated = sum(int(v) for v in visible_counts)
         self.last_metrics = {k: float(v) for k, v in metrics.items()}
-        if self.last_metrics.get("overflow", 0) > 0:
-            self._handle_overflow(int(self.last_metrics["overflow"]))
+        # Overflow is accumulated over EVERY step of the batch (a mid-batch
+        # overflow must trigger growth this keyframe, not only when it happens
+        # to recur on the final iteration).
+        max_budget_lost = max(int(v) for v in budget_losses)
+        max_truncated = max(int(v) for v in truncations)
+        self.last_metrics["budget_lost"] = float(max_budget_lost)
+        self.last_metrics["truncated"] = float(max_truncated)
+        self.last_metrics["overflow"] = float(max_budget_lost + max_truncated)
+        if max_budget_lost > 0 or max_truncated > 0:
+            self._handle_overflow(max_budget_lost, max_truncated)
         return updated / max(len(opt_list), 1)
 
-    def _handle_overflow(self, overflow: int) -> None:
+    def _handle_overflow(self, budget_lost: int, truncated: int) -> None:
         """Binning overflow → grow the splat-list budget ×1.5 and recompile at
         the new static shape (the reference resizes its splat buffers lazily the
-        same way, rasterize_points.cu:40-48). Once the budget hits the
-        per-Gaussian slot cap, remaining overflow means rect truncation — only
-        a larger `max_tiles_per_gaussian` can fix that, so warn instead."""
+        same way, rasterize_points.cu:40-48). Only `budget_lost` slots are
+        fixable this way; `truncated` slots come from rects wider than the
+        per-Gaussian K-slot limit — only a larger `max_tiles_per_gaussian`
+        can fix those, so warn immediately instead of growing."""
         cfg = self.cfg
+        if truncated > 0 and not self._overflow_warned:
+            self._overflow_warned = True
+            print(
+                f"[gaussian-lic-tpu] WARNING: {truncated} rect tiles truncated "
+                "at the per-Gaussian slot cap — large-footprint Gaussians "
+                "(e.g. skybox) exceed max_tiles_per_gaussian="
+                f"{cfg.max_tiles_per_gaussian}; raise it (16/32) to render "
+                "them fully"
+            )
+        if budget_lost <= 0:
+            return
         if cfg.splat_budget_factor < cfg.max_tiles_per_gaussian:
             # grow from the EFFECTIVE budget (the factor may sit below the
             # 4096-entry floor of _splat_budget_for at small capacities)
@@ -427,18 +453,17 @@ class MappingEngine:
                     self.intr, self.cfg, self.mesh
                 )
             print(
-                f"[gaussian-lic-tpu] binning overflow ({overflow} slots): "
-                f"splat budget grows {cfg.splat_budget_factor:g} -> {new_f:g} "
-                "entries/Gaussian (one recompile)"
+                f"[gaussian-lic-tpu] binning overflow ({budget_lost} slots "
+                "past the splat budget): splat budget grows "
+                f"{cfg.splat_budget_factor:g} -> {new_f:g} entries/Gaussian "
+                "(one recompile)"
             )
         elif not self._overflow_warned:
             self._overflow_warned = True
             print(
-                f"[gaussian-lic-tpu] WARNING: binning overflow ({overflow} "
-                "slots) at the slot cap — large-footprint Gaussians (e.g. "
-                "skybox) exceed max_tiles_per_gaussian="
-                f"{cfg.max_tiles_per_gaussian}; raise it (16/32) to render "
-                "them fully"
+                f"[gaussian-lic-tpu] WARNING: binning overflow ({budget_lost} "
+                "slots) with the splat budget already at the per-Gaussian "
+                "slot cap — raise max_tiles_per_gaussian to grow further"
             )
 
     # ---------------------------------------------------------------- finalize

@@ -70,7 +70,9 @@ class TiledRenderOutput(NamedTuple):
     n_contrib: jnp.ndarray  # (H, W) int32
     visible: jnp.ndarray    # (P,) bool — radii > 0
     radii: jnp.ndarray      # (P,)
-    overflow: jnp.ndarray   # () int32 — binning slots lost (monitoring)
+    overflow: jnp.ndarray     # () int32 — total binning slots lost (monitoring)
+    budget_lost: jnp.ndarray  # () int32 — lost to max_total_splats (growable)
+    truncated: jnp.ndarray    # () int32 — lost to the K-slot rect limit
 
 
 def _pack_rows(xy, conic, opacity, rgb):
@@ -293,6 +295,8 @@ def render_tiled(
         visible=visible,
         radii=radius,
         overflow=binning.overflow,
+        budget_lost=binning.budget_lost,
+        truncated=binning.truncated,
     )
 
 

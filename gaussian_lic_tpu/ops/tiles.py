@@ -284,5 +284,7 @@ def bin_gaussians(
         cnt=cnt,
         num_valid=num_valid,
         overflow=overflow,
+        budget_lost=budget_lost,
+        truncated=truncated,
         tiles_touched=tiles_touched,
     )

@@ -107,8 +107,11 @@ def bin_gaussians_sharded(
 
     Per-device sort volume drops from P·K to P·K/D + D·m_pair. Returns
     band-local (sorted_gauss, tile_starts, tile_lens, cnt, num_valid,
-    overflow) where cnt (P,) counts the slots present in THIS band's list
-    (per-Gaussian run lengths for the blend backward's reduction)."""
+    budget_lost, truncated) where cnt (P,) counts the slots present in THIS
+    band's list (per-Gaussian run lengths for the blend backward's reduction).
+    budget_lost is this device's SEND-side bucket loss and truncated the
+    K-slot rect truncation over its Gaussian shard — psum both over the mesh
+    for scene totals."""
     P = xy.shape[0]
     K = max_tiles_per_gaussian
     assert P % n_dev == 0, "Gaussian capacity must divide the mesh"
@@ -129,9 +132,18 @@ def bin_gaussians_sharded(
     xy_s, conic_s, opa_s, rad_s = sl(xy), sl(conic), sl(opacity), sl(radius)
     live_s, rank_s = sl(live_all), sl(rank)
 
-    tx, ty, slot_valid, _in_rect, _rect = tiles_ops.compute_slot_tiles(
+    tx, ty, slot_valid, in_rect, rect_info = tiles_ops.compute_slot_tiles(
         xy_s, conic_s, opa_s, rad_s, live_s, grid, K
     )
+    # rect tiles whose row-major index ≥ K are never enumerated (slot
+    # truncation) — count them over this device's Gaussian shard
+    _rminy, _rmaxy, rect_w = rect_info
+    rect_h = _rmaxy - _rminy
+    rect_count = rect_w * rect_h
+    enumerated = jnp.sum(in_rect.astype(jnp.int32), axis=1)
+    truncated = jnp.sum(
+        jnp.where(live_s, jnp.maximum(rect_count - enumerated, 0), 0)
+    ).astype(jnp.int32)
     band = jnp.clip(ty // band_n_ty, 0, n_dev - 1)
     ty_local = ty - band * band_n_ty
     tile_local = (ty_local * grid.n_tx + tx).astype(jnp.uint32)
@@ -197,7 +209,8 @@ def bin_gaussians_sharded(
 
     num_valid = jnp.sum(present.astype(jnp.int32))
     # bucket_overflow is this device's SEND-side loss; callers psum over the mesh
-    return sorted_gauss, tile_starts, tile_lens, cnt, num_valid, bucket_overflow
+    return (sorted_gauss, tile_starts, tile_lens, cnt, num_valid,
+            bucket_overflow.astype(jnp.int32), truncated)
 
 
 def render_band(
@@ -223,10 +236,12 @@ def render_band(
 ):
     """Per-device differentiable render of one horizontal band of tile rows.
 
-    Returns (color (3, band_n_ty·tile_h, Wp), final_T, visible (P,), overflow ()).
-    Same math as ops.rasterize.render_tiled restricted to the band. With
-    `axis_name` set, binning runs distributed (Gaussian-sharded slot generation
-    + all_to_all band routing) instead of replicated per device.
+    Returns (color (3, band_n_ty·tile_h, Wp), final_T, visible (P,),
+    budget_lost (), truncated ()). Same math as ops.rasterize.render_tiled
+    restricted to the band. With `axis_name` set, binning runs distributed
+    (Gaussian-sharded slot generation + all_to_all band routing) instead of
+    replicated per device; the overflow counters are then per-device partials
+    (psum for scene totals).
     """
     intr = camera.intr
     grid = tiles_ops.TileGrid(
@@ -247,7 +262,7 @@ def render_band(
     if axis_name is not None and n_dev > 1:
         m_pair = max(-(-2 * max_total_splats // n_dev) // 256 * 256, 512)
         (sorted_gauss, tile_starts, tile_lens, cnt, _num_valid,
-         overflow) = bin_gaussians_sharded(
+         budget_lost, truncated) = bin_gaussians_sharded(
             sg(proj.xy), sg(proj.depth), sg(proj.conic), sg(opacity), sg(radius),
             base_active, grid,
             axis_name=axis_name, n_dev=n_dev, band_n_ty=band_n_ty,
@@ -268,7 +283,8 @@ def render_band(
         sorted_gauss, tile_starts, tile_lens = (
             binning.sorted_gauss, binning.tile_starts, binning.tile_lens
         )
-        cnt, overflow = binning.cnt, binning.overflow
+        cnt = binning.cnt
+        budget_lost, truncated = binning.budget_lost, binning.truncated
         m_list = max_total_splats
     # The blend kernel derives pixel coords from band-local tile indices; shift
     # splat y into band-local pixel space (a constant shift — gradient-transparent).
@@ -290,7 +306,7 @@ def render_band(
     )
     color = unswizzle_tiles(color_t, grid.n_tx, band_n_ty, tile_h, tile_w)
     final_t = unswizzle_tiles(final_t_t, grid.n_tx, band_n_ty, tile_h, tile_w)
-    return color, final_t, visible, overflow
+    return color, final_t, visible, budget_lost, truncated
 
 
 def _band_geometry(intr: Intrinsics, cfg: Params, n_dev: int):
@@ -344,7 +360,7 @@ def make_sharded_train_step(intr: Intrinsics, cfg: Params, mesh: Mesh,
 
         def loss_fn(trainable):
             gm2 = gm.with_trainable(trainable)
-            color_l, _ft, visible, overflow = render_band(
+            color_l, _ft, visible, budget_lost, truncated = render_band(
                 gm2.xyz, gm2.scaling, gm2.rotation, gm2.opacity, cam,
                 dc=gm2.dc, sh_rest=gm2.sh_rest, sh_degree=gm2.sh_degree,
                 active=gm2.active_mask(),
@@ -367,12 +383,12 @@ def make_sharded_train_step(intr: Intrinsics, cfg: Params, mesh: Mesh,
                 # the erank gradient is injected identically on every device;
                 # the psum/n_dev normalization below keeps it at reference scale
                 loss = loss + erank_regularizer(gm2.scaling, cfg.lambda_erank)
-            return loss, (visible, overflow)
+            return loss, (visible, budget_lost, truncated)
 
         trainable = gm.trainable()
         if cfg.apply_exposure:
             trainable = dict(trainable, exposure=gm.exposure)
-        (loss, (visible, overflow)), grads = jax.value_and_grad(
+        (loss, (visible, budget_lost, truncated)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(trainable)
         # Every device recomputes the identical loss from the all-gathered image,
@@ -402,10 +418,14 @@ def make_sharded_train_step(intr: Intrinsics, cfg: Params, mesh: Mesh,
         elif "exposure" in opt_state:
             new_opt["exposure"] = opt_state["exposure"]
 
+        bl = lax.psum(budget_lost, axis_name)
+        tr = lax.psum(truncated, axis_name)
         metrics = {
             "loss": loss,
             "n_visible": jnp.sum(visible.astype(jnp.int32)),
-            "overflow": lax.psum(overflow, axis_name),
+            "overflow": bl + tr,
+            "budget_lost": bl,
+            "truncated": tr,
         }
         return gm_new, new_opt, metrics
 
@@ -434,7 +454,7 @@ def make_sharded_render(intr: Intrinsics, cfg: Params, mesh: Mesh,
         ty0 = (dev * band_n_ty).astype(jnp.int32)
         cam = kf.camera(intr, idx)
         m_local = max(_splat_budget_for(gm.capacity, cfg) // n_dev, 1 << 10)
-        color_l, final_t_l, _vis, _ovf = render_band(
+        color_l, final_t_l, _vis, _bl, _tr = render_band(
             gm.xyz, gm.scaling, gm.rotation, gm.opacity, cam,
             dc=gm.dc, sh_rest=gm.sh_rest, sh_degree=gm.sh_degree,
             active=gm.active_mask(),

@@ -170,3 +170,65 @@ class TestSplatBudgetAutoGrow:
         assert eng.cfg.splat_budget_factor > cfg.splat_budget_factor
         # training continued at the new shape
         assert np.isfinite(eng.last_metrics["loss"])
+
+    @staticmethod
+    def _small_engine():
+        cfg = Params(
+            width=128, height=64, fx=60.0, fy=60.0, cx=64.0, cy=32.0,
+            skybox_points_num=0, initial_capacity=1024, densify_budget=256,
+            max_train_keyframes=4, max_iters_per_keyframe=2,
+            select_every_k_frame=1,
+        )
+        rng = np.random.default_rng(5)
+        world = make_world(rng, n_points=200)
+        frames = make_sequence(world, n_frames=2, points_per_frame=80, rng=rng)
+        eng = MappingEngine(cfg)
+        for f in frames:
+            eng.add_frame(f)
+        return eng
+
+    def _scripted_step(self, eng, budget_lost_seq, truncated_seq):
+        """Wrap the real train step, overriding the overflow metrics of call i
+        with the i-th scripted values (later calls read 0)."""
+        from gaussian_lic_tpu.engine.trainer import _make_train_step
+
+        real_step = _make_train_step(eng.intr, eng.cfg)
+        calls = {"i": 0}
+
+        def fake_step(gm, opt, kf, idx, es):
+            gm2, opt2, m = real_step(gm, opt, kf, idx, es)
+            i = calls["i"]
+            calls["i"] += 1
+            m = dict(m)
+            bl = budget_lost_seq[i] if i < len(budget_lost_seq) else 0
+            tr = truncated_seq[i] if i < len(truncated_seq) else 0
+            m["budget_lost"] = jnp.asarray(bl, jnp.int32)
+            m["truncated"] = jnp.asarray(tr, jnp.int32)
+            m["overflow"] = m["budget_lost"] + m["truncated"]
+            return gm2, opt2, m
+
+        return fake_step
+
+    def test_mid_batch_overflow_still_grows(self):
+        """Overflow on an EARLY iteration of the optimize() batch (zero on the
+        final one) must still grow the budget the same keyframe — the engine
+        accumulates overflow across all steps, not just the last."""
+        eng = self._small_engine()
+        f0 = eng.cfg.splat_budget_factor
+        eng._sharded_step = self._scripted_step(eng, [37, 0], [0, 0])
+        eng.optimize(max_iters=2)
+        assert eng.last_metrics["budget_lost"] == 37.0
+        assert eng.cfg.splat_budget_factor > f0
+
+    def test_truncation_only_does_not_grow_budget(self):
+        """Rect truncation (rects wider than the K-slot limit) cannot be fixed
+        by a bigger splat budget: the engine must warn, not grow+recompile."""
+        eng = self._small_engine()
+        f0 = eng.cfg.splat_budget_factor
+        compiles0 = eng.timers.compiles
+        eng._sharded_step = self._scripted_step(eng, [0, 0], [12, 0])
+        eng.optimize(max_iters=2)
+        assert eng.last_metrics["truncated"] == 12.0
+        assert eng.cfg.splat_budget_factor == f0
+        assert eng.timers.compiles == compiles0
+        assert eng._overflow_warned

@@ -130,6 +130,131 @@ class TestShardedTrainStep:
         assert losses_seen[-1] < losses_seen[0]
 
 
+class TestProductionTileShapes:
+    """Sharding at the production 32×32 square tiles, the `_band_geometry`
+    fallback chain, band-imbalanced scenes, and bucket-overflow propagation
+    (the paths the original suite left pinned to (8,128) strips)."""
+
+    @staticmethod
+    def _scene(intr, cfg, n_points=220, seed=13, scaling_scale=1.0, cluster=None):
+        rng = np.random.default_rng(seed)
+        world = make_world(rng, n_points=n_points, intr=intr)
+        if cluster is not None:
+            # band-imbalance: squash all points into a horizontal slab so they
+            # land in one tile-row band of the image
+            world.points[:, 1] = cluster + 0.05 * world.points[:, 1]
+        frames = make_sequence(world, n_frames=2, points_per_frame=150, rng=rng)
+        pts = np.concatenate([f.points for f in frames])
+        cols = np.concatenate([f.colors for f in frames])
+        cam0 = build_camera(intr, frames[0])
+        z = (pts @ np.asarray(cam0.pose.R_cw).T + np.asarray(cam0.pose.t_cw))[:, 2]
+        keep = z > 0
+        gm = initialize_map(
+            pts[keep], cols[keep], z[keep].astype(np.float32),
+            focal=intr.fx, scaling_scale=scaling_scale, sh_degree=3,
+            capacity=512,
+        )
+        kf = KeyframeBuffer.empty(2, intr)
+        for i, f in enumerate(frames):
+            kf = kf.set_frame(i, build_camera(intr, f), f.image_u8())
+        return gm, kf
+
+    def test_square_tiles_match_single_chip(self):
+        """Production default (32,32) tiles under a 4-device mesh."""
+        intr = Intrinsics(width=64, height=128, fx=60.0, fy=60.0, cx=32.0, cy=64.0)
+        cfg = Params(
+            width=64, height=128, fx=60.0, fy=60.0, cx=32.0, cy=64.0,
+            skybox_points_num=0, initial_capacity=512, max_train_keyframes=2,
+            tile_h=32, tile_w=32,
+        )
+        from gaussian_lic_tpu.parallel.sharded import _band_geometry
+
+        grid, band_n_ty = _band_geometry(intr, cfg, 4)
+        assert (grid.tile_h, grid.tile_w) == (32, 32)  # square path, no fallback
+        assert band_n_ty == 1
+
+        gm, kf = self._scene(intr, cfg)
+        mesh = make_mesh(4)
+        img4, ft4 = make_sharded_render(intr, cfg, mesh)(
+            gm, kf, jnp.asarray(0, jnp.int32)
+        )
+        cam = KeyframeBuffer.camera(kf, intr, jnp.asarray(0, jnp.int32))
+        ref = render_map(gm, cam, tile_h=32, tile_w=32, max_total_splats=1 << 12)
+        np.testing.assert_allclose(np.asarray(img4), np.asarray(ref.image), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(ft4), np.asarray(ref.final_T), atol=1e-5)
+
+    def test_band_geometry_fallback_engaged(self):
+        """64-px-tall image: 32×32 gives 2 tile rows — not divisible by a
+        4-device mesh — so _band_geometry must fall back to (16,64)."""
+        intr = Intrinsics(width=128, height=64, fx=60.0, fy=60.0, cx=64.0, cy=32.0)
+        cfg = Params(
+            width=128, height=64, fx=60.0, fy=60.0, cx=64.0, cy=32.0,
+            skybox_points_num=0, initial_capacity=512, max_train_keyframes=2,
+            tile_h=32, tile_w=32,
+        )
+        from gaussian_lic_tpu.parallel.sharded import _band_geometry
+
+        grid, band_n_ty = _band_geometry(intr, cfg, 4)
+        assert (grid.tile_h, grid.tile_w) == (16, 64)  # first fallback
+        assert band_n_ty == 1
+
+        gm, kf = self._scene(intr, cfg, seed=17)
+        img4, _ = make_sharded_render(intr, cfg, make_mesh(4))(
+            gm, kf, jnp.asarray(0, jnp.int32)
+        )
+        # single-chip reference at the SAME fallback tile shape
+        cam = KeyframeBuffer.camera(kf, intr, jnp.asarray(0, jnp.int32))
+        ref = render_map(gm, cam, tile_h=16, tile_w=64, max_total_splats=1 << 12)
+        np.testing.assert_allclose(np.asarray(img4), np.asarray(ref.image), atol=1e-5)
+
+    def test_band_imbalanced_scene(self):
+        """All Gaussians concentrated in one band: the other bands' devices do
+        empty work, numerics still match the single-chip render."""
+        intr = Intrinsics(width=64, height=128, fx=60.0, fy=60.0, cx=32.0, cy=64.0)
+        cfg = Params(
+            width=64, height=128, fx=60.0, fy=60.0, cx=32.0, cy=64.0,
+            skybox_points_num=0, initial_capacity=512, max_train_keyframes=2,
+            tile_h=32, tile_w=32,
+        )
+        gm, kf = self._scene(intr, cfg, seed=19, cluster=-1.5)
+        img4, _ = make_sharded_render(intr, cfg, make_mesh(4))(
+            gm, kf, jnp.asarray(0, jnp.int32)
+        )
+        cam = KeyframeBuffer.camera(kf, intr, jnp.asarray(0, jnp.int32))
+        ref = render_map(gm, cam, tile_h=32, tile_w=32, max_total_splats=1 << 12)
+        np.testing.assert_allclose(np.asarray(img4), np.asarray(ref.image), atol=1e-5)
+
+    def test_bucket_overflow_propagates(self):
+        """Send-side all_to_all bucket loss must surface in the train-step
+        metrics (psum'd budget_lost > 0), not vanish silently. Geometry: a
+        wide image (8 tiles per 32×32 row) so one source shard can emit more
+        slots into a single band than its fixed m_pair bucket holds."""
+        intr = Intrinsics(width=256, height=128, fx=60.0, fy=60.0, cx=128.0, cy=64.0)
+        cfg = Params(
+            width=256, height=128, fx=60.0, fy=60.0, cx=128.0, cy=64.0,
+            skybox_points_num=0, initial_capacity=512, max_train_keyframes=2,
+            tile_h=32, tile_w=32,
+            # huge splats: every Gaussian fans out to many tiles in every band,
+            # overwhelming the fixed per-(source,band) m_pair buckets
+            scaling_scale=60.0, splat_budget_factor=0.5,
+        )
+        gm, kf = self._scene(intr, cfg, seed=23, scaling_scale=60.0)
+        opt = {
+            name: adam_ops.AdamState(
+                jnp.zeros_like(gm.trainable()[name]),
+                jnp.zeros_like(gm.trainable()[name]),
+            )
+            for name in PARAM_GROUPS
+        }
+        step4 = make_sharded_train_step(intr, cfg, make_mesh(4))
+        _gm2, _opt2, m = step4(
+            gm, opt, kf, jnp.asarray(0, jnp.int32), jnp.asarray(1, jnp.int32)
+        )
+        assert int(m["budget_lost"]) > 0
+        assert int(m["overflow"]) >= int(m["budget_lost"])
+        assert np.isfinite(float(m["loss"]))
+
+
 class TestEngineWithMesh:
     def test_streaming_engine_sharded(self):
         """Full MappingEngine flow with a mesh: quality must match the
