@@ -75,7 +75,11 @@ class Params:
 
     # --- capacity management (DESIGN.md §1) ---
     initial_capacity: int = 1 << 18     # Gaussian array capacity at startup
-    densify_budget: int = 1 << 16       # max candidate points per keyframe extension
+    # Base padded shape for keyframe extension: candidate point batches pad up
+    # to the next power-of-two multiple of this (ALL accumulated points are
+    # processed, matching gaussian.cpp:541-627 — this only buckets the compile
+    # shapes, it never drops points).
+    densify_budget: int = 1 << 16
     max_train_keyframes: int = 512      # capacity of the stacked train-camera buffer
 
     # --- misc ---

@@ -62,19 +62,26 @@ def evaluate_visual_quality(
     result_path: Optional[str] = None,
     lpips_path: Optional[str] = None,
     save_images: bool = True,
-) -> Dict[str, float]:
-    """Returns {train,test}_{psnr,ssim,lpips} means (gaussian.cpp:784-789,824-829)."""
+) -> Dict[str, Optional[float]]:
+    """Returns {train,test}_{psnr,ssim,lpips} means (gaussian.cpp:784-789,824-829).
+    lpips is explicitly None when no weights artifact is available — the metric
+    is reported as skipped, never silently dropped."""
     cfg = engine.cfg
     intr = engine.intr
     gm = engine.gm
-    results: Dict[str, float] = {}
+    results: Dict[str, Optional[float]] = {}
 
     lpips = None
     if lpips_path:
         try:
             lpips = LpipsScorer(lpips_path)
         except Exception as e:  # missing artifact → skip metric, keep evaluating
-            print(f"[eval] LPIPS unavailable ({e}); skipping")
+            print(f"[eval] LPIPS unavailable ({e}); reporting lpips=None — "
+                  "export a weights artifact with tools/export_lpips.py "
+                  "(see README, 'LPIPS weights')")
+    else:
+        print("[eval] LPIPS skipped: no lpips_path configured; reporting "
+              "lpips=None (see README, 'LPIPS weights')")
 
     @jax.jit
     def _render_train(gm, kf, idx):
@@ -104,8 +111,10 @@ def evaluate_visual_quality(
         if psnrs:
             out["psnr"] = float(np.mean(psnrs))
             out["ssim"] = float(np.mean(ssims))
-            if lpipss:
-                out["lpips"] = float(np.mean(lpipss))
+            # One of the reference's three headline metrics: never drop it
+            # silently — None means "no weights artifact" (gaussian.cpp:740-749
+            # loads lpips_alex.pt; ours comes from lpips_path, see README).
+            out["lpips"] = float(np.mean(lpipss)) if lpipss else None
         return out
 
     # train split (device keyframe buffer)
@@ -121,10 +130,12 @@ def evaluate_visual_quality(
     for k, v in tr.items():
         results[f"train_{k}"] = v
 
-    # test split (host cameras)
-    def render_test(i):
-        tc = engine.test_cameras[i]
-        cam = make_camera(intr, tc.R_wc, tc.t_wc)
+    # test split: one jitted (gm, R, t) → image with the pose as traced
+    # arguments, so hundreds of held-out views render at kernel speed instead
+    # of dispatching the projection/packing ops eagerly per camera
+    @jax.jit
+    def _render_pose(gm, R_wc, t_wc):
+        cam = make_camera(intr, R_wc, t_wc)
         out = render_map(
             gm, cam,
             apply_exposure=cfg.apply_exposure,
@@ -132,6 +143,12 @@ def evaluate_visual_quality(
             max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
         )
         return jnp.clip(out.image, 0.0, 1.0)
+
+    def render_test(i):
+        tc = engine.test_cameras[i]
+        return _render_pose(
+            gm, jnp.asarray(tc.R_wc, jnp.float32), jnp.asarray(tc.t_wc, jnp.float32)
+        )
 
     te = run_split(
         None,

@@ -242,6 +242,7 @@ class MappingEngine:
         self.last_metrics: Dict[str, float] = {}
         self._overflow_warned = False
         self._kf_names: List[str] = []
+        self._extend_shapes: set = set()
 
     # ------------------------------------------------------------------ frames
 
@@ -348,11 +349,17 @@ class MappingEngine:
         cfg = self.cfg
         pts, cols, depths = self.accum.take()
         n = pts.shape[0]
+        # Process ALL accumulated points — the reference projects and filters
+        # every point each keyframe (gaussian.cpp:541-627), so no subsampling.
+        # Pad to the next power-of-two bucket ≥ densify_budget: the jitted
+        # extend_step then sees a bounded set of shapes (one compile per
+        # bucket over the whole run, not one per keyframe).
         M = cfg.densify_budget
-        if n > M:
-            sel = self.rng.choice(n, size=M, replace=False)
-            pts, cols, depths = pts[sel], cols[sel], depths[sel]
-            n = M
+        while M < n:
+            M *= 2
+        if M not in self._extend_shapes:
+            self._extend_shapes.add(M)
+            self.timers.compiles += 1
         self._grow_if_needed(n)
         pad = M - n
         pts_p = np.concatenate([pts, np.zeros((pad, 3), np.float32)])
@@ -382,6 +389,8 @@ class MappingEngine:
         else:
             opt_list = self.rng.choice(n_kf, size=max_iters, replace=False)
         self.rng.shuffle(opt_list)
+        if len(opt_list) == 0:
+            return 0.0
 
         train_step = self._sharded_step or _make_train_step(self.intr, cfg)
         visible_counts = []

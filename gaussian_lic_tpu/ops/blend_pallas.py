@@ -394,22 +394,36 @@ def _backward_kernel(
                 )
                 dalpha = jnp.where(applied, dalpha, 0.0)
                 wsel = jnp.where(applied, w, 0.0)
-                # dα→(opacity, position, conic); α-cap not masked (ref parity)
+                # dα→(opacity, position, conic); α-cap not masked (ref parity).
+                # Only raw moments touch full (8,128) vregs — Σgd·dx, Σgd·dy,
+                # Σgd·dx², Σgd·dxdy, Σgd·dy² — and the position/conic grads are
+                # derived from them per splat on the (1,128) sublane-reduced
+                # rows (A, B, C are per-splat scalars, so e.g.
+                # d_x = Σ gd·(−(A·dx + B·dy)) = −(A·Σgd·dx + B·Σgd·dy)):
+                # 5 vreg multiplies instead of ~13 vreg ops for the same sums.
                 E = G * dalpha          # = ∂L/∂(opa·G) per pixel
                 gd = opa * E
+                t1 = gd * dx
+                t2 = gd * dy
+
+                def rsum(q):
+                    return jnp.sum(q, axis=0, keepdims=True)
+
+                m1 = rsum(t1)
+                m2 = rsum(t2)
                 quantities = (
-                    gd * (-(A * dx + B * dy)),   # d_x
-                    gd * (-(Cc * dy + B * dx)),  # d_y
-                    gd * (-0.5 * dx * dx),       # d_A
-                    gd * (-dx * dy),             # d_B
-                    gd * (-0.5 * dy * dy),       # d_C
-                    E,                           # d_opa
-                    wsel * dlr,                  # d_r
-                    wsel * dlg,                  # d_g
-                    wsel * dlb,                  # d_b
+                    -(A * m1 + B * m2),          # d_x
+                    -(Cc * m2 + B * m1),         # d_y
+                    -0.5 * rsum(t1 * dx),        # d_A
+                    -rsum(t1 * dy),              # d_B
+                    -0.5 * rsum(t2 * dy),        # d_C
+                    rsum(E),                     # d_opa
+                    rsum(wsel * dlr),            # d_r
+                    rsum(wsel * dlg),            # d_g
+                    rsum(wsel * dlb),            # d_b
                 )
                 for qi in range(9):
-                    q_parts[qi][s] = jnp.sum(quantities[qi], axis=0, keepdims=True)
+                    q_parts[qi][s] = quantities[qi]
                 # update suffix color
                 Sr = Sr + wsel * rr
                 Sg = Sg + wsel * gg

@@ -192,7 +192,8 @@ def main(argv: Optional[list] = None) -> int:
     if results:
         print("\n===== quality (cf. gaussian.cpp:784-829) =====")
         for k in sorted(results):
-            print(f"  {k:16s}: {results[k]:.4f}")
+            v = results[k]
+            print(f"  {k:16s}: " + (f"{v:.4f}" if v is not None else "skipped"))
 
     if args.checkpoint:
         from gaussian_lic_tpu.io.checkpoint import save_checkpoint

@@ -76,6 +76,10 @@ class TestStreamingEngine:
         results = eng.finalize()
         assert results["train_psnr"] > 14.0
         assert "test_psnr" in results
+        # LPIPS must be REPORTED as skipped (None), never silently dropped
+        # (one of the reference's three headline metrics, gaussian.cpp:740-749)
+        assert "train_lpips" in results and results["train_lpips"] is None
+        assert "test_lpips" in results and results["test_lpips"] is None
         assert 0.0 < results["train_ssim"] <= 1.0
         assert results["num_gaussians"] == float(int(eng.gm.count))
         import os
@@ -107,6 +111,34 @@ class TestDensification:
             eng.add_frame(f)
         n_added = int(eng.gm.count) - n_before
         assert n_added < 500  # dedup+alpha filter keeps it bounded
+
+    def test_all_points_processed_past_budget(self):
+        """densify_budget is a compile-shape bucket, NOT a subsample cap: a
+        keyframe delivering more points than the budget must process every one
+        (the reference filters every accumulated point, gaussian.cpp:541-627).
+        Two engines differing only in densify_budget end with identical maps."""
+        base = dict(
+            width=128, height=64, fx=60.0, fy=60.0, cx=64.0, cy=32.0,
+            skybox_points_num=0, initial_capacity=2048,
+            max_train_keyframes=8, max_iters_per_keyframe=1,
+            select_every_k_frame=1, seed=3,
+        )
+        rng = np.random.default_rng(29)
+        world = make_world(rng, n_points=600)
+        frames = make_sequence(world, n_frames=2, points_per_frame=500, rng=rng)
+
+        eng_small = MappingEngine(Params(**base, densify_budget=64))
+        eng_big = MappingEngine(Params(**base, densify_budget=2048))
+        for f in frames:
+            eng_small.add_frame(f)
+            eng_big.add_frame(f)
+        # same candidate set → same appended Gaussians regardless of bucket size
+        assert int(eng_small.gm.count) == int(eng_big.gm.count)
+        n = int(eng_small.gm.count)
+        np.testing.assert_allclose(
+            np.asarray(eng_small.gm.xyz[:n]), np.asarray(eng_big.gm.xyz[:n]),
+            atol=0.0,
+        )
 
     def test_capacity_growth(self):
         cfg = Params(
