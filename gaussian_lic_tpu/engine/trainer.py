@@ -411,13 +411,15 @@ class MappingEngine:
             truncations.append(metrics["truncated"])
         jax.block_until_ready(self.gm.xyz)
         self.timers.optimize_steps += time.perf_counter() - t0
-        updated = sum(int(v) for v in visible_counts)
+        # one stacked device→host fetch per metric list (per-element int()
+        # would cost one tunnel round trip per iteration)
+        updated = int(np.sum(np.asarray(jnp.stack(visible_counts))))
         self.last_metrics = {k: float(v) for k, v in metrics.items()}
         # Overflow is accumulated over EVERY step of the batch (a mid-batch
         # overflow must trigger growth this keyframe, not only when it happens
         # to recur on the final iteration).
-        max_budget_lost = max(int(v) for v in budget_losses)
-        max_truncated = max(int(v) for v in truncations)
+        max_budget_lost = int(np.max(np.asarray(jnp.stack(budget_losses))))
+        max_truncated = int(np.max(np.asarray(jnp.stack(truncations))))
         self.last_metrics["budget_lost"] = float(max_budget_lost)
         self.last_metrics["truncated"] = float(max_truncated)
         self.last_metrics["overflow"] = float(max_budget_lost + max_truncated)

@@ -94,17 +94,28 @@ def _pack_rows(xy, conic, opacity, rgb):
 def _make_blend(n_tx: int, n_ty: int, tile_h: int, tile_w: int, max_total_splats: int,
                 max_tiles_per_gaussian: int = 16, interpret=None):
     """custom_vjp blend closed over the static tile-grid configuration.
+
+    The single differentiable primal is the packed per-Gaussian attribute table
+    `rows` (P, SPLAT_ROWS) — x, y, conic A/B/C, opacity, r, g, b in the kernel
+    row layout. The forward gathers the sorted splat list from it; the backward
+    reduces per-entry kernel gradients back to a (P, SPLAT_ROWS) cotangent.
+    Keeping the primal in row form lets the multi-chip step shard the table:
+    AD's transpose of `lax.all_gather(rows)` is a psum_scatter, which routes
+    each band's per-Gaussian gradient contributions back to the Gaussian's
+    owner shard with no explicit collective code.
+
     `max_tiles_per_gaussian` bounds per-Gaussian run lengths in the sorted list
     (the backward's segmented scan needs log2 of it steps)."""
     M = max_total_splats
     K = max_tiles_per_gaussian
 
-    def _fwd_impl(splat_rows, tile_starts, tile_lens):
-        # splat_rows (M_pad, SPLAT_ROWS) comes ready-packed from the binning
-        # sort (dead entries are zero rows → alpha 0 → skipped in-kernel); the
-        # (M_pad//SUB, SUB·16) view is a free bitcast reshape and gives the
-        # kernels 128-lane DMA rows with no transposes
-        m_pad = splat_rows.shape[0]
+    def _fwd_impl(rows, sorted_gauss, tile_starts, tile_lens):
+        # the gather places dead entries (sentinel id P) as zero rows → alpha 0
+        # → in-kernel no-ops; the (M_pad//SUB, SUB·16) view is a free reshape
+        # giving the kernels 128-lane DMA rows with no transposes
+        splat_rows = jnp.take(rows, sorted_gauss, axis=0, mode="fill",
+                              fill_value=0.0)
+        m_pad = sorted_gauss.shape[0]
         splats = splat_rows.reshape(m_pad // SUB, SUB * SPLAT_ROWS)
         color, final_t, n_contrib = blend_forward(
             splats, tile_starts, tile_lens,
@@ -114,18 +125,15 @@ def _make_blend(n_tx: int, n_ty: int, tile_h: int, tile_w: int, max_total_splats
         return color, final_t, n_contrib, splats
 
     @jax.custom_vjp
-    def blend(xy, conic, opacity, rgb, splat_rows, sorted_gauss,
-              tile_starts, tile_lens, cnt):
-        # xy/conic/opacity/rgb are the differentiable primals (their values are
-        # already baked into splat_rows by the binning sort); the forward only
-        # reads splat_rows, the backward produces their cotangents.
-        color, final_t, n_contrib, _ = _fwd_impl(splat_rows, tile_starts, tile_lens)
+    def blend(rows, sorted_gauss, tile_starts, tile_lens, cnt):
+        color, final_t, n_contrib, _ = _fwd_impl(
+            rows, sorted_gauss, tile_starts, tile_lens
+        )
         return color, final_t, n_contrib
 
-    def blend_fwd(xy, conic, opacity, rgb, splat_rows, sorted_gauss,
-                  tile_starts, tile_lens, cnt):
+    def blend_fwd(rows, sorted_gauss, tile_starts, tile_lens, cnt):
         color, final_t, n_contrib, splats = _fwd_impl(
-            splat_rows, tile_starts, tile_lens
+            rows, sorted_gauss, tile_starts, tile_lens
         )
         res = (splats, sorted_gauss, tile_starts, tile_lens, final_t, n_contrib,
                cnt)
@@ -143,6 +151,7 @@ def _make_blend(n_tx: int, n_ty: int, tile_h: int, tile_w: int, max_total_splats
             interpret=interpret,
         )  # (SPLAT_ROWS, M_pad), attribute-major
         m_pad = sorted_gauss.shape[0]
+        P = cnt.shape[0]
 
         # Per-Gaussian reduction via carry-sort + segmented scan + one row
         # gather — gathers/scatters keyed per slot are 2.5-4× slower (PERF.md).
@@ -170,18 +179,14 @@ def _make_blend(n_tx: int, n_ty: int, tile_h: int, tile_w: int, max_total_splats
         stacked = jnp.stack(scols, axis=1)              # (M_pad, 9)
         g = jnp.take(stacked, last, axis=0, mode="clip")  # (P, 9)
         g = jnp.where((cnt > 0)[:, None], g, 0.0)
-
-        d_xy = g[:, ROW_X:ROW_Y + 1]
-        d_conic = g[:, ROW_A:ROW_C + 1]
-        d_opa = g[:, ROW_OPA]
-        d_rgb = g[:, ROW_R:ROW_B2 + 1]
+        # rows cotangent: the 9 gradient columns in kernel-row positions 0..8
+        d_rows = jnp.pad(g, ((0, 0), (0, SPLAT_ROWS - 9)))
 
         def int_zero(x):
             return np.zeros(x.shape, jax.dtypes.float0)
 
         return (
-            d_xy, d_conic, d_opa, d_rgb,
-            jnp.zeros((m_pad, SPLAT_ROWS), jnp.float32),  # splat_rows (unused dup)
+            d_rows,
             int_zero(jnp.zeros(m_pad, jnp.int32)),
             int_zero(tile_starts),
             int_zero(tile_lens),
@@ -245,16 +250,16 @@ def render_tiled(
         max_total_splats=max_total_splats,
         align=CHUNK,
     )
-    # pack splat rows by row gather (dead sentinel id P → zero rows); measured
-    # faster end-to-end than carrying attribute columns through the binning
-    # sort (the column→packed-row interleave plus lost fusion outweigh it)
-    rows = _pack_rows(sg(proj.xy), sg(proj.conic), sg(opacity), sg(rgb))
-    splat_rows = jnp.take(
-        rows, binning.sorted_gauss, axis=0, mode="fill", fill_value=0.0
-    )
+    # pack the per-Gaussian attribute table; the custom_vjp blend gathers the
+    # sorted splat list from it and its backward returns the table's cotangent
+    # directly (the _pack_rows transpose back to xy/conic/... is free slicing)
+    rows = _pack_rows(proj.xy, proj.conic, opacity, rgb)
 
     if no_color:
         # alpha-only pass (extend(), gaussian.cpp:505-507) — no gradients needed
+        splat_rows = jnp.take(
+            sg(rows), binning.sorted_gauss, axis=0, mode="fill", fill_value=0.0
+        )
         m_pad = binning.sorted_gauss.shape[0]
         splats = splat_rows.reshape(m_pad // SUB, SUB * SPLAT_ROWS)
         color_t, final_t_t, ncontrib_t = blend_forward(
@@ -265,11 +270,8 @@ def render_tiled(
     else:
         blend = _make_blend(grid.n_tx, grid.n_ty, tile_h, tile_w, max_total_splats,
                             max_tiles_per_gaussian, interpret)
-        # sg() on splat_rows: the VJP's (identically zero) cotangent for it
-        # must not be transposed back through the packing gather
         color_t, final_t_t, ncontrib_t = blend(
-            proj.xy, proj.conic, opacity, rgb,
-            sg(splat_rows), binning.sorted_gauss,
+            rows, binning.sorted_gauss,
             binning.tile_starts, binning.tile_lens,
             binning.cnt,
         )

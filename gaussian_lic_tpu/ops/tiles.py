@@ -7,11 +7,12 @@ identifyTileRanges (rasterizer_impl.cu:59-218, 395-429). Design (DESIGN.md §2):
     to the k-th tile of the Gaussian's bounding rect in row-major order; slots beyond
     the rect — or failing StopThePop exact per-tile culling (forward.cu:151-230) —
     are dead. Rects larger than K tiles are truncated (counted in `overflow`).
-  * Keys pack (tile_id << RANK_BITS) | depth_rank into uint32; dead slots get
-    0xFFFFFFFF and sort to the end. One `lax.sort` over all P·K slots replaces the
-    radix sort; there is no scatter and no host round-trip (the reference's two
-    hidden D2H syncs, rasterizer_impl.cu:398,442, disappear — the splat list has a
-    static budget `max_total_splats`).
+  * Keys pack (tile_id << depth_bits) | truncated-f32-depth into uint32 (slot id
+    as secondary sort key for a deterministic order under depth-quantum ties);
+    dead slots get 0xFFFFFFFF and sort to the end. One `lax.sort` over all P·K
+    slots replaces the radix sort; there is no scatter and no host round-trip
+    (the reference's two hidden D2H syncs, rasterizer_impl.cu:398,442,
+    disappear — the splat list has a static budget `max_total_splats`).
   * Per-tile [start, len) ranges come from `searchsorted` over the sorted tile ids.
   * Per-Gaussian surviving-entry counts (the run lengths the backward's segmented
     carry-sort reduction needs) come from one dense key compare against the
@@ -32,16 +33,30 @@ import jax.numpy as jnp
 from gaussian_lic_tpu.ops.projection import OPACITY_THRESHOLD, max_contrib_power_rect
 
 INVALID_KEY = jnp.uint32(0xFFFFFFFF)
-# Key packing (tile_id << rank_bits) | depth_rank into uint32. rank_bits is
-# chosen per grid: small tile grids leave more bits for depth ranks, so map
-# capacity scales to 2^(32 - ceil(log2(num_tiles+1))) Gaussians — e.g. 2^23 at
-# 640×512/(8·128) (320 tiles + the INVALID sentinel headroom).
+# Key packing (tile_id << depth_bits) | truncated_depth into uint32. depth_bits
+# is chosen per grid: small tile grids leave more bits for depth. The depth
+# field is the top `depth_bits` of the positive-f32 bit pattern (monotone in
+# depth): sorting keys orders splats front-to-back per tile with ~2^-(db-8)
+# relative depth resolution (23 bits at 640×512/32² → 2^-15 ≈ 3e-5 — far finer
+# than any visually meaningful ordering). Entries within one depth quantum are
+# ordered by slot id (a deterministic total order; exact-duplicate depths get
+# insertion order, matching a stable exact-depth sort). This replaces the
+# depth-rank scheme of round 1 — two full-P argsorts per render — with zero
+# extra passes, and removes its P ≤ 2^rank_bits capacity coupling.
 RANK_BITS = 20  # legacy default, used only when a grid isn't supplied
 
 
 def rank_bits_for(num_tiles: int) -> int:
+    """Bits available for the depth field next to `num_tiles`+sentinel ids."""
     tile_bits = max(int(num_tiles + 1).bit_length(), 1)
     return 32 - tile_bits
+
+
+def depth_key(depth: jnp.ndarray, depth_bits: int) -> jnp.ndarray:
+    """Truncated monotone uint32 depth field (top `depth_bits` of the f32 bit
+    pattern; depths are positive after frustum culling, z > 0.2)."""
+    bits = jax.lax.bitcast_convert_type(depth.astype(jnp.float32), jnp.uint32)
+    return (bits >> (31 - depth_bits)).astype(jnp.uint32)
 
 
 class TileGrid(NamedTuple):
@@ -191,21 +206,12 @@ def bin_gaussians(
     M = max_total_splats
     n_ty_local = grid.n_ty if band_n_ty is None else band_n_ty
     num_tiles_local = n_ty_local * grid.n_tx
-    rank_bits = rank_bits_for(num_tiles_local)
-    assert P <= (1 << rank_bits), (
-        f"depth rank needs {P} values but only {1 << rank_bits} fit next to "
-        f"{num_tiles_local} tile ids; shard the map or coarsen the tile grid"
-    )
+    depth_bits = rank_bits_for(num_tiles_local)
     if band_ty0 is None:
         band_ty0 = jnp.int32(0)
 
     live = active & (radius > 0.0)
-
-    # --- depth ranks over live Gaussians (two argsorts; scatters are ~2× slower
-    # than sorts on TPU — measured, see PERF.md) ---
-    d = jnp.where(live, depth, jnp.inf)
-    order = jnp.argsort(d)
-    rank = jnp.argsort(order).astype(jnp.uint32)  # rank[g] = position in depth order
+    dkey = depth_key(depth, depth_bits)
 
     tx, ty, slot_valid_noband, in_rect, rect_info = compute_slot_tiles(
         xy, conic, opacity, radius, live, grid, K
@@ -217,15 +223,17 @@ def bin_gaussians(
     slot_valid = slot_valid_noband & in_band  # (P, K)
     tiles_touched = jnp.sum(slot_valid, axis=1).astype(jnp.int32)
 
-    # --- keys & sort --- (band-local tile ids; dead slots masked before the cast)
+    # --- keys & sort --- (band-local tile ids; dead slots masked before the
+    # cast). Truncated-depth keys can collide, so the slot id is a SECOND sort
+    # key, giving a deterministic (tile, depth, insertion-order) total order.
     tile_id = jnp.where(slot_valid, ty_local * grid.n_tx + tx, 0).astype(jnp.uint32)
     keys = jnp.where(
         slot_valid,
-        (tile_id << rank_bits) | rank[:, None],
+        (tile_id << depth_bits) | dkey[:, None],
         INVALID_KEY,
     ).reshape(-1)
     slot_ids = jnp.arange(P * K, dtype=jnp.int32)
-    sorted_keys, sorted_slots = jax.lax.sort((keys, slot_ids), num_keys=1)
+    sorted_keys, sorted_slots = jax.lax.sort((keys, slot_ids), num_keys=2)
 
     num_valid = jnp.sum(slot_valid).astype(jnp.int32)
     # Slots silently lost to rect truncation: in-band rect tiles whose row-major
@@ -246,13 +254,18 @@ def bin_gaussians(
     M_pad = ((m_eff + align - 1) // align) * align
 
     # --- per-Gaussian surviving-entry counts (run lengths in sorted_gauss),
-    # needed by the blend backward's segmented reduction. Valid keys are UNIQUE
-    # (distinct (tile, depth-rank) pairs; ranks are distinct per Gaussian), so
-    # "slot's sorted position < m_eff" ⟺ "key < the m_eff-th smallest key" —
-    # a dense compare instead of a second P·K inverse-permutation sort. ---
+    # needed by the blend backward's segmented reduction. The effective sort
+    # key (key, slot_id) is unique, so "slot's sorted position < m_eff" ⟺
+    # "(key, slot) < the m_eff-th smallest (key, slot)" — a dense lexicographic
+    # compare instead of a second P·K inverse-permutation sort. ---
     if m_eff < P * K:
-        boundary = sorted_keys[m_eff]
-        survive = slot_valid & (keys.reshape(P, K) < boundary)
+        bk_key = sorted_keys[m_eff]
+        bk_slot = sorted_slots[m_eff]
+        k2 = keys.reshape(P, K)
+        s2 = slot_ids.reshape(P, K)
+        survive = slot_valid & (
+            (k2 < bk_key) | ((k2 == bk_key) & (s2 < bk_slot))
+        )
     else:
         survive = slot_valid
     cnt = jnp.sum(survive, axis=1).astype(jnp.int32)
@@ -262,7 +275,7 @@ def bin_gaussians(
     # [start, start+len), so no re-layout pass is needed) ---
     sorted_keys = sorted_keys[:m_eff]
     sorted_slots = sorted_slots[:m_eff]
-    sorted_tiles = (sorted_keys >> rank_bits).astype(jnp.int32)
+    sorted_tiles = (sorted_keys >> depth_bits).astype(jnp.int32)
     boundaries = jnp.arange(num_tiles_local + 1, dtype=jnp.int32)
     edges = jnp.searchsorted(sorted_tiles, boundaries, side="left").astype(jnp.int32)
     tile_starts = edges[:-1]

@@ -95,6 +95,7 @@ def bin_gaussians_sharded(
     max_tiles_per_gaussian: int,
     m_pair: int,             # per (source, band) bucket budget
     align: int,
+    sharded_inputs: bool = False,  # True → inputs are (P/D,) shard arrays
 ):
     """Distributed tile binning inside shard_map — the ICI-native replacement
     for running the full P·K sort replicated on every device:
@@ -112,25 +113,33 @@ def bin_gaussians_sharded(
     budget_lost is this device's SEND-side bucket loss and truncated the
     K-slot rect truncation over its Gaussian shard — psum both over the mesh
     for scene totals."""
-    P = xy.shape[0]
     K = max_tiles_per_gaussian
-    assert P % n_dev == 0, "Gaussian capacity must divide the mesh"
-    shard = P // n_dev
+    if sharded_inputs:
+        shard = xy.shape[0]
+        P = shard * n_dev
+    else:
+        P = xy.shape[0]
+        assert P % n_dev == 0, "Gaussian capacity must divide the mesh"
+        shard = P // n_dev
     num_tiles_local = band_n_ty * grid.n_tx
-    rank_bits = tiles_ops.rank_bits_for(num_tiles_local)
-    assert P <= (1 << rank_bits), "depth rank does not fit the band-local key"
+    depth_bits = tiles_ops.rank_bits_for(num_tiles_local)
     dev = lax.axis_index(axis_name)
     g0 = (dev * shard).astype(jnp.int32)
 
     live_all = active & (radius > 0.0)
-    # global depth ranks on the replicated arrays (argsorts of P are cheap)
-    d = jnp.where(live_all, depth, jnp.inf)
-    order = jnp.argsort(d)
-    rank = jnp.argsort(order).astype(jnp.uint32)
 
-    sl = lambda a: lax.dynamic_slice_in_dim(a, g0, shard, axis=0)
-    xy_s, conic_s, opa_s, rad_s = sl(xy), sl(conic), sl(opacity), sl(radius)
-    live_s, rank_s = sl(live_all), sl(rank)
+    if sharded_inputs:
+        xy_s, conic_s, opa_s, rad_s = xy, conic, opacity, radius
+        live_s = live_all
+        depth_s = depth
+    else:
+        sl = lambda a: lax.dynamic_slice_in_dim(a, g0, shard, axis=0)
+        xy_s, conic_s, opa_s, rad_s = sl(xy), sl(conic), sl(opacity), sl(radius)
+        live_s = sl(live_all)
+        depth_s = sl(depth)
+    # truncated-depth keys need no global pass (the round-1 rank scheme ran two
+    # replicated full-P argsorts on every device — gone)
+    dkey_s = tiles_ops.depth_key(depth_s, depth_bits)
 
     tx, ty, slot_valid, in_rect, rect_info = tiles_ops.compute_slot_tiles(
         xy_s, conic_s, opa_s, rad_s, live_s, grid, K
@@ -149,7 +158,7 @@ def bin_gaussians_sharded(
     tile_local = (ty_local * grid.n_tx + tx).astype(jnp.uint32)
     packed = jnp.where(
         slot_valid,
-        (tile_local << rank_bits) | rank_s[:, None],
+        (tile_local << depth_bits) | dkey_s[:, None],
         tiles_ops.INVALID_KEY,
     ).reshape(-1)
     band_key = jnp.where(slot_valid, band, n_dev).astype(jnp.uint32).reshape(-1)
@@ -157,8 +166,10 @@ def bin_gaussians_sharded(
     slot_global = (gauss * K
                    + jax.lax.broadcasted_iota(jnp.int32, (shard, K), 1)).reshape(-1)
 
-    # local sort groups by destination band (then tile, then depth)
-    bk, pk, sk = jax.lax.sort((band_key, packed, slot_global), num_keys=2)
+    # local sort groups by destination band (then tile, depth, slot id — the
+    # slot id is a key too: truncated-depth keys may collide and the order must
+    # be deterministic across devices)
+    bk, pk, sk = jax.lax.sort((band_key, packed, slot_global), num_keys=3)
 
     # fixed-size per-band buckets (gather formulation; the q-side is tiny)
     edges = jnp.searchsorted(
@@ -183,8 +194,8 @@ def bin_gaussians_sharded(
         send_slots.reshape(n_dev, m_pair), axis_name, split_axis=0, concat_axis=0
     ).reshape(-1)
 
-    # merge the D sorted streams for MY band
-    fk, fs = jax.lax.sort((recv_keys, recv_slots), num_keys=1)
+    # merge the D sorted streams for MY band (slot id again a key — ties)
+    fk, fs = jax.lax.sort((recv_keys, recv_slots), num_keys=2)
     m_eff = n_dev * m_pair
     M_pad = ((m_eff + align - 1) // align) * align
     present = fk != tiles_ops.INVALID_KEY
@@ -192,7 +203,7 @@ def bin_gaussians_sharded(
     sorted_gauss = jnp.concatenate(
         [gauss_raw, jnp.full((M_pad - m_eff,), P, jnp.int32)]
     )
-    sorted_tiles = (fk >> rank_bits).astype(jnp.int32)
+    sorted_tiles = (fk >> depth_bits).astype(jnp.int32)
     boundaries = jnp.arange(num_tiles_local + 1, dtype=jnp.int32)
     e2 = jnp.searchsorted(sorted_tiles, boundaries, side="left").astype(jnp.int32)
     tile_starts = e2[:-1]
@@ -292,17 +303,14 @@ def render_band(
     xy_local = proj.xy - jnp.stack(
         [jnp.zeros((), jnp.float32), y_off]
     )[None, :]
-    # pack splat rows by row gather, as in the single-chip path (band-local
-    # list is M/D entries, so the gather is even cheaper here)
-    rows = _pack_rows(sg(xy_local), sg(proj.conic), sg(opacity), sg(rgb))
-    splat_rows = jnp.take(rows, sorted_gauss, axis=0, mode="fill", fill_value=0.0)
+    # packed attribute table is the blend's differentiable primal; its backward
+    # returns the table cotangent (band-local list is M/D entries, so the
+    # in-vjp gather is even cheaper here)
+    rows = _pack_rows(xy_local, proj.conic, opacity, rgb)
     blend = _make_blend(grid.n_tx, band_n_ty, tile_h, tile_w, m_list,
                         max_tiles_per_gaussian, interpret)
-    # sg() stops the zero splat_rows cotangent from transposing the gather
     color_t, final_t_t, _n_contrib = blend(
-        xy_local, proj.conic, opacity, rgb,
-        sg(splat_rows), sorted_gauss, tile_starts, tile_lens,
-        cnt,
+        rows, sorted_gauss, tile_starts, tile_lens, cnt,
     )
     color = unswizzle_tiles(color_t, grid.n_tx, band_n_ty, tile_h, tile_w)
     final_t = unswizzle_tiles(final_t_t, grid.n_tx, band_n_ty, tile_h, tile_w)
@@ -335,82 +343,171 @@ def _band_geometry(intr: Intrinsics, cfg: Params, n_dev: int):
     return grid, grid.n_ty // n_dev
 
 
+def _gm_pspecs(cfg: Params, axis_name: str) -> GaussianMap:
+    """GaussianMap-shaped pytree of PartitionSpecs: Gaussian arrays sharded on
+    the leading (capacity) dim, count/exposure replicated."""
+    s = P(axis_name)
+    return GaussianMap(
+        xyz=s, dc=s, sh_rest=s, log_scale=s, quat=s, opa_logit=s,
+        count=P(), exposure=P(),
+        sh_degree=cfg.sh_degree, skybox_count=cfg.skybox_points_num,
+    )
+
+
+def _opt_pspecs(cfg: Params, axis_name: str) -> dict:
+    s = P(axis_name)
+    specs = {
+        name: adam_ops.AdamState(s, s)
+        for name in ("xyz", "dc", "sh_rest", "opacity", "log_scale", "quat")
+    }
+    if cfg.apply_exposure:
+        specs["exposure"] = adam_ops.AdamState(P(), P())
+    return specs
+
+
 def make_sharded_train_step(intr: Intrinsics, cfg: Params, mesh: Mesh,
                             axis_name: str = AXIS_TILES):
-    """Jitted SPMD train step: signature-compatible with the single-chip
+    """Jitted SPMD train step, signature-compatible with the single-chip
     trainer._make_train_step product — (gm, opt_state, kf, idx, exp_step) →
-    (gm', opt_state', metrics)."""
+    (gm', opt_state', metrics).
+
+    Fully sharded design (round 2; round 1 replicated params and psum'd a
+    ~59-column full-P gradient — ~250 MB of ICI per step at 1M Gaussians):
+
+      * Gaussian arrays, optimizer moments, preprocess (projection/EWA/SH),
+        and sparse Adam are all sharded P/D per device.
+      * Each device packs its shard's 16-float splat rows; ONE `all_gather`
+        (64 MB at 1M) replicates the packed table for binning-free access by
+        every band owner.
+      * Binning is distributed (bin_gaussians_sharded: Gaussian-sharded slot
+        enumeration → all_to_all band routing → band merge).
+      * Gradient routing is pure AD: the blend's custom_vjp emits a (P, 16)
+        table cotangent; the transpose of `all_gather` is a `psum_scatter`
+        that sums every band's contribution and delivers exactly the owner
+        shard's 16 columns (36 MB of ICI instead of the 250 MB psum). The
+        preprocess VJP and Adam then run on the shard.
+      * The replicated image loss is scaled by 1/D so the D identical image
+        cotangents sum to the true gradient through the gather transposes;
+        psum(loss) reported to keep the metric at reference scale.
+    """
     n_dev = int(mesh.devices.size)
     grid, band_n_ty = _band_geometry(intr, cfg, n_dev)
     tile_h, tile_w = grid.tile_h, grid.tile_w
     interpret = mesh_interpret(mesh)
     lrs = LearningRates.from_params(cfg)
     H, W = intr.height, intr.width
+    K = cfg.max_tiles_per_gaussian
     lr_map = dict(
         xyz=lrs.xyz, dc=lrs.dc, sh_rest=lrs.sh_rest,
         opacity=lrs.opacity, log_scale=lrs.log_scale, quat=lrs.quat,
     )
+    from gaussian_lic_tpu.ops import sh as sh_ops
+    from gaussian_lic_tpu.ops.blend_pallas import ROW_Y
 
-    def device_body(gm: GaussianMap, opt_state, kf, idx, exp_step):
+    def device_body(gm_s: GaussianMap, opt_state, kf, idx, exp_step):
         dev = lax.axis_index(axis_name)
+        shard = gm_s.xyz.shape[0]
+        capacity = shard * n_dev
+        g0 = (dev * shard).astype(jnp.int32)
+        my_ids = g0 + jnp.arange(shard, dtype=jnp.int32)
+        active_s = my_ids < gm_s.count
         ty0 = (dev * band_n_ty).astype(jnp.int32)
+        y_off = (ty0 * tile_h).astype(jnp.float32)
         cam = kf.camera(intr, idx)
         gt = kf.images[idx].astype(jnp.float32) / 255.0
-        m_local = max(_splat_budget_for(gm.capacity, cfg) // n_dev, 1 << 10)
+        m_local = max(_splat_budget_for(capacity, cfg) // n_dev, 1 << 10)
+        m_pair = max(-(-2 * m_local // n_dev) // 256 * 256, 512)
+        sg = lax.stop_gradient
 
         def loss_fn(trainable):
-            gm2 = gm.with_trainable(trainable)
-            color_l, _ft, visible, budget_lost, truncated = render_band(
-                gm2.xyz, gm2.scaling, gm2.rotation, gm2.opacity, cam,
-                dc=gm2.dc, sh_rest=gm2.sh_rest, sh_degree=gm2.sh_degree,
-                active=gm2.active_mask(),
-                band_ty0=ty0, band_n_ty=band_n_ty,
-                tile_h=tile_h, tile_w=tile_w,
-                max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
-                max_total_splats=m_local,
-                axis_name=axis_name, n_dev=n_dev, interpret=interpret,
+            xyz = trainable["xyz"]
+            scaling = jnp.exp(trainable["log_scale"])
+            quat = trainable["quat"]
+            rot = quat / (jnp.linalg.norm(quat, axis=-1, keepdims=True) + 1e-12)
+            opa = jax.nn.sigmoid(trainable["opacity"])
+            proj = project_gaussians(xyz, scaling, rot, cam)
+            base_active = (proj.in_front & proj.det_valid
+                           & (opa >= OPACITY_THRESHOLD) & active_s)
+            radius = jnp.where(base_active, proj.radius, 0.0)
+            visible_s = radius > 0.0
+            dirs = xyz - cam.cam_center
+            rgb = sh_ops.eval_sh_color(
+                gm_s.sh_degree, trainable["dc"], trainable["sh_rest"], dirs
             )
+            rows_s = _pack_rows(proj.xy, proj.conic, opa, rgb)  # (P/D, 16)
+            rows_full = lax.all_gather(rows_s, axis_name, axis=0, tiled=True)
+            # shift splat y into this band's local pixel space (the blend
+            # kernel derives pixel coords from band-local tile indices)
+            rows_band = rows_full.at[:, ROW_Y].add(-y_off)
+
+            (sorted_gauss, tile_starts, tile_lens, cnt, _nv,
+             budget_lost, truncated) = bin_gaussians_sharded(
+                sg(proj.xy), sg(proj.depth), sg(proj.conic), sg(opa),
+                sg(radius), base_active, grid,
+                axis_name=axis_name, n_dev=n_dev, band_n_ty=band_n_ty,
+                max_tiles_per_gaussian=K, m_pair=m_pair, align=CHUNK,
+                sharded_inputs=True,
+            )
+            m_pad = sorted_gauss.shape[0]
+            blend = _make_blend(grid.n_tx, band_n_ty, tile_h, tile_w, m_pad,
+                                K, interpret)
+            color_t, _ft_t, _nc = blend(
+                rows_band, sorted_gauss, tile_starts, tile_lens, cnt
+            )
+            color_l = unswizzle_tiles(color_t, grid.n_tx, band_n_ty,
+                                      tile_h, tile_w)
             img = lax.all_gather(color_l, axis_name, axis=1, tiled=True)
             image = img[:, :H, :W]
             if cfg.apply_exposure:
                 exposure = trainable["exposure"]
                 flat = image.reshape(3, -1)
                 image = (exposure[:, :3] @ flat + exposure[:, 3:]).reshape(3, H, W)
-            loss = losses.training_loss(image, gt, cfg.lambda_dssim)
+            # 1/D: the D identical image cotangents sum through the two gather
+            # transposes (image bands, rows shards) to D × the true gradient
+            loss_img = losses.training_loss(image, gt, cfg.lambda_dssim) / n_dev
+            loss = loss_img
             if cfg.lambda_erank > 0:
                 from gaussian_lic_tpu.ops.erank import erank_regularizer
 
-                # the erank gradient is injected identically on every device;
-                # the psum/n_dev normalization below keeps it at reference scale
-                loss = loss + erank_regularizer(gm2.scaling, cfg.lambda_erank)
-            return loss, (visible, budget_lost, truncated)
+                # shard-local partial: grads flow only to this shard's scales;
+                # psum(loss) reports the full-map regularizer value
+                loss = loss + erank_regularizer(scaling, cfg.lambda_erank)
+            return loss, (visible_s, budget_lost, truncated)
 
-        trainable = gm.trainable()
+        trainable = {
+            "xyz": gm_s.xyz, "dc": gm_s.dc, "sh_rest": gm_s.sh_rest,
+            "opacity": gm_s.opa_logit, "log_scale": gm_s.log_scale,
+            "quat": gm_s.quat,
+        }
         if cfg.apply_exposure:
-            trainable = dict(trainable, exposure=gm.exposure)
-        (loss, (visible, budget_lost, truncated)), grads = jax.value_and_grad(
+            trainable = dict(trainable, exposure=gm_s.exposure)
+        (loss_p, (visible_s, budget_lost, truncated)), grads = jax.value_and_grad(
             loss_fn, has_aux=True
         )(trainable)
-        # Every device recomputes the identical loss from the all-gathered image,
-        # so the all_gather transpose sums D equal image cotangents: psum of the
-        # per-device grads is D·(full gradient) — normalize by D.
-        grads = jax.tree_util.tree_map(
-            lambda g: lax.psum(g, axis_name) / n_dev, grads
-        )
+        # No gradient psum: AD's all_gather transposes already summed each
+        # band's contribution into the owner shard's cotangent.
 
-        visible = visible & gm.active_mask()
+        visible_s = visible_s & active_s
         new_trainable = {}
         new_opt = {}
         for name in ("xyz", "dc", "sh_rest", "opacity", "log_scale", "quat"):
             p, st = adam_ops.sparse_adam_update(
-                trainable[name], grads[name], opt_state[name], visible, lr_map[name]
+                trainable[name], grads[name], opt_state[name], visible_s,
+                lr_map[name]
             )
             new_trainable[name] = p
             new_opt[name] = st
-        gm_new = gm.with_trainable(new_trainable)
+        gm_new = gm_s.replace(
+            xyz=new_trainable["xyz"], dc=new_trainable["dc"],
+            sh_rest=new_trainable["sh_rest"],
+            opa_logit=new_trainable["opacity"],
+            log_scale=new_trainable["log_scale"], quat=new_trainable["quat"],
+        )
         if cfg.apply_exposure:
+            # exposure is replicated; each device holds 1/D of its gradient
+            exp_grad = lax.psum(grads["exposure"], axis_name)
             exp_p, exp_st = adam_ops.dense_adam_update(
-                trainable["exposure"], grads["exposure"], opt_state["exposure"],
+                trainable["exposure"], exp_grad, opt_state["exposure"],
                 lr=cfg.exposure_lr, step_count=exp_step,
             )
             gm_new = gm_new.replace(exposure=exp_p)
@@ -421,19 +518,23 @@ def make_sharded_train_step(intr: Intrinsics, cfg: Params, mesh: Mesh,
         bl = lax.psum(budget_lost, axis_name)
         tr = lax.psum(truncated, axis_name)
         metrics = {
-            "loss": loss,
-            "n_visible": jnp.sum(visible.astype(jnp.int32)),
+            "loss": lax.psum(loss_p, axis_name),
+            "n_visible": lax.psum(
+                jnp.sum(visible_s.astype(jnp.int32)), axis_name
+            ),
             "overflow": bl + tr,
             "budget_lost": bl,
             "truncated": tr,
         }
         return gm_new, new_opt, metrics
 
+    gm_specs = _gm_pspecs(cfg, axis_name)
+    opt_specs = _opt_pspecs(cfg, axis_name)
     step = jax.shard_map(
         device_body,
         mesh=mesh,
-        in_specs=(P(), P(), P(), P(), P()),
-        out_specs=(P(), P(), P()),
+        in_specs=(gm_specs, opt_specs, P(), P(), P()),
+        out_specs=(gm_specs, opt_specs, P()),
         check_vma=False,
     )
     return jax.jit(step)

@@ -334,6 +334,140 @@ def main():
     print(f"projected D={D} step (compute + ICI bounds): {total:.1f} ms "
           f"→ {1e3 / total:.1f} it/s")
 
+    # ---- fused one-device slice of the v2 (fully sharded) train step ----
+    # The per-piece numbers above each pay a dispatch floor through the axon
+    # tunnel; the real device program is ONE fused jit. This emulates exactly
+    # one device's v2 compute with volume-equivalent local stubs for the three
+    # collectives (tile→all_gather, identity→all_to_all, slice→psum_scatter;
+    # their ICI time is the arithmetic table above), then times grad+adam of
+    # the whole thing — the honest per-device number for the D=8 projection.
+    from gaussian_lic_tpu.models.gaussians import GaussianMap
+    from gaussian_lic_tpu.ops import losses
+    from gaussian_lic_tpu.parallel.sharded import _band_geometry
+
+    _, band_rows = _band_geometry(intr, cfg, D)
+    gm_shard = jax.tree_util.tree_map(
+        lambda a: a[:shard] if hasattr(a, "shape") and a.ndim and a.shape[0] == P
+        else a,
+        gm,
+    )
+    gt = kf.images[0].astype(jnp.float32) / 255.0
+    H, W = intr.height, intr.width
+    num_tiles_local = band_rows * grid.n_tx
+    depth_bits = tiles_ops.rank_bits_for(num_tiles_local)
+    from gaussian_lic_tpu.ops.rasterize import _make_blend
+    from gaussian_lic_tpu.ops.blend_pallas import ROW_Y
+
+    def slice_loss(trainable):
+        xyz_ = trainable["xyz"]
+        scaling = jnp.exp(trainable["log_scale"])
+        quat = trainable["quat"]
+        rot = quat / (jnp.linalg.norm(quat, axis=-1, keepdims=True) + 1e-12)
+        opa = jax.nn.sigmoid(trainable["opacity"])
+        proj = project_gaussians(xyz_, scaling, rot, cam)
+        active_s = jnp.arange(shard, dtype=jnp.int32) >= 0
+        base_active = (proj.in_front & proj.det_valid
+                       & (opa >= OPACITY_THRESHOLD) & active_s)
+        radius_ = jnp.where(base_active, proj.radius, 0.0)
+        dirs = xyz_ - cam.cam_center
+        rgb_ = sh_ops.eval_sh_color(gm.sh_degree, trainable["dc"],
+                                    trainable["sh_rest"], dirs)
+        rows_s = _pack_rows(proj.xy, proj.conic, opa, rgb_)
+        rows_full = jnp.tile(rows_s, (D, 1))          # all_gather stub
+        rows_band = rows_full.at[:, ROW_Y].add(0.0)
+        sg = jax.lax.stop_gradient
+
+        # --- distributed binning, collectives stubbed ---
+        tx2, ty2, sv2, _ir2, _ri2 = tiles_ops.compute_slot_tiles(
+            sg(proj.xy), sg(proj.conic), sg(opa), sg(radius_), base_active,
+            grid, K)
+        dkey = tiles_ops.depth_key(sg(proj.depth), depth_bits)
+        band = jnp.clip(ty2 // band_rows, 0, D - 1)
+        ty_local = ty2 - band * band_rows
+        tile_local = (ty_local * grid.n_tx + tx2).astype(jnp.uint32)
+        packed = jnp.where(sv2, (tile_local << depth_bits) | dkey[:, None],
+                           tiles_ops.INVALID_KEY).reshape(-1)
+        band_key = jnp.where(sv2, band, D).astype(jnp.uint32).reshape(-1)
+        slot_global = jax.lax.broadcasted_iota(jnp.int32, (shard * K,), 0)
+        bk2, pk2, sk2 = jax.lax.sort((band_key, packed, slot_global), num_keys=3)
+        edges = jnp.searchsorted(bk2, jnp.arange(D + 1, dtype=jnp.uint32),
+                                 side="left").astype(jnp.int32)
+        q = jnp.arange(D * m_pair, dtype=jnp.int32)
+        b_of_q = q // m_pair
+        off = q - b_of_q * m_pair
+        seg_len = edges[b_of_q + 1] - edges[b_of_q]
+        valid_q = off < seg_len
+        src = jnp.clip(edges[b_of_q] + off, 0, shard * K - 1)
+        send_keys = jnp.where(valid_q, pk2[src], tiles_ops.INVALID_KEY)
+        send_slots = jnp.where(valid_q, sk2[src], -1)
+        recv_keys, recv_slots = send_keys, send_slots   # all_to_all stub
+        fk2, fs2 = jax.lax.sort((recv_keys, recv_slots), num_keys=2)
+        m_eff2 = D * m_pair
+        M_pad2 = -(-m_eff2 // CHUNK) * CHUNK
+        present = fk2 != tiles_ops.INVALID_KEY
+        gauss_raw = jnp.where(present, fs2 // K, P).astype(jnp.int32)
+        sorted_gauss = jnp.concatenate(
+            [gauss_raw, jnp.full((M_pad2 - m_eff2,), P, jnp.int32)])
+        sorted_tiles = (fk2 >> depth_bits).astype(jnp.int32)
+        bounds = jnp.arange(num_tiles_local + 1, dtype=jnp.int32)
+        e2 = jnp.searchsorted(sorted_tiles, bounds, side="left").astype(jnp.int32)
+        tile_starts, tile_lens = e2[:-1], e2[1:] - e2[:-1]
+        slot_present = (
+            jnp.zeros((P * K,), jnp.bool_)
+            .at[jnp.where(present, fs2, P * K)]
+            .set(True, mode="drop", unique_indices=True))
+        cnt = jnp.sum(slot_present.reshape(P, K).astype(jnp.int32), axis=1)
+
+        blend = _make_blend(grid.n_tx, band_rows, cfg.tile_h, cfg.tile_w,
+                            M_pad2, K)
+        color_t, _ft, _nc = blend(rows_band, sorted_gauss, tile_starts,
+                                  tile_lens, cnt)
+        color_l = jnp.reshape(
+            jnp.moveaxis(color_t.reshape(3, band_rows, grid.n_tx,
+                                         cfg.tile_h, cfg.tile_w), 2, 3),
+            (3, band_rows * cfg.tile_h, grid.n_tx * cfg.tile_w))
+        img = jnp.zeros((3, grid.n_ty * cfg.tile_h, grid.n_tx * cfg.tile_w),
+                        jnp.float32)
+        img = jax.lax.dynamic_update_slice(img, color_l, (0, 0, 0))  # gather stub
+        image = img[:, :H, :W]
+        loss = losses.training_loss(image, gt, cfg.lambda_dssim) / D
+        return loss, (radius_ > 0)
+
+    trainable_s = {
+        "xyz": gm_shard.xyz, "dc": gm_shard.dc, "sh_rest": gm_shard.sh_rest,
+        "opacity": gm_shard.opa_logit, "log_scale": gm_shard.log_scale,
+        "quat": gm_shard.quat,
+    }
+    opt_s = {name: adam_ops.AdamState(jnp.zeros_like(v), jnp.zeros_like(v))
+             for name, v in trainable_s.items()}
+
+    @jax.jit
+    def slice_step(trainable, opt):
+        (loss, vis), grads = jax.value_and_grad(slice_loss, has_aux=True)(trainable)
+        new_t = {}
+        new_o = {}
+        for name in trainable:
+            p_, st = adam_ops.sparse_adam_update(
+                trainable[name], grads[name], opt[name], vis, 1e-3)
+            new_t[name] = p_
+            new_o[name] = st
+        return loss, new_t, new_o
+
+    def slice_args():
+        t = dict(trainable_s)
+        t["xyz"] = fresh(t["xyz"])
+        return (t, opt_s)
+
+    t_slice = timeit(lambda *a: slice_step(*a)[1]["xyz"], slice_args, args.iters)
+    ici_total = sum(ici.values()) - ici["psum grads"]  # v2 has no grad psum
+    ici_v2 = ici_total + ici_allreduce_ms(P // D * 16 * 4 * D, D) / 2  # rows a-g
+    ici_v2 += ici_allreduce_ms(36 * P, D) / 2                # (P,16→9) psum_scatter
+    print(f"\nfused v2 one-device slice:    {t_slice:9.1f} ms (collectives stubbed)")
+    print(f"v2 ICI arithmetic: {ici_v2:.2f} ms "
+          f"(rows all_gather + cotangent psum_scatter + buckets + image)")
+    print(f"projected v2 D={D} step: {t_slice + ici_v2:.1f} ms → "
+          f"{1e3 / (t_slice + ici_v2):.1f} it/s")
+
     # ---- shard_map wrapper overhead on a real 1-device TPU mesh ----
     from gaussian_lic_tpu.parallel.sharded import make_sharded_train_step
 
