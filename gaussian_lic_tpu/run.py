@@ -106,8 +106,10 @@ def main(argv: Optional[list] = None) -> int:
     ap = argparse.ArgumentParser(description=__doc__,
                                  formatter_class=argparse.RawDescriptionHelpFormatter)
     src = ap.add_mutually_exclusive_group(required=True)
-    src.add_argument("--input", help="recorded stream directory (frame_*.npz) "
-                                     "or a ROS1 .bag with the three topics")
+    src.add_argument("--input", help="recorded stream directory (frame_*.npz), "
+                                     "a ROS1 .bag with the three topics, or "
+                                     "ros://[master_uri] to subscribe to a "
+                                     "live ROS1 graph (default $ROS_MASTER_URI)")
     src.add_argument("--demo", action="store_true",
                      help="synthetic demo sequence (no data needed)")
     ap.add_argument("--points-topic", default="/points_for_gs")
@@ -163,6 +165,19 @@ def main(argv: Optional[list] = None) -> int:
     if args.demo:
         frames = _demo_frames(cfg, args.demo_frames)
         use_aligner = not args.no_aligner
+    elif args.input.startswith("ros://"):
+        from gaussian_lic_tpu.io.ros_live import RosLiveStream
+
+        # live TCPROS subscriber (the reference node's three-topic feed,
+        # mapping.cpp:203-242); aligns internally with the same ±10 ms policy
+        master = args.input[len("ros://"):] or None
+        if master and not master.startswith("http"):
+            master = f"http://{master}"
+        frames = RosLiveStream(master_uri=master,
+                               points_topic=args.points_topic,
+                               pose_topic=args.pose_topic,
+                               image_topic=args.image_topic)
+        use_aligner = False
     elif args.input.endswith(".bag"):
         from gaussian_lic_tpu.io.rosbag import RosbagStream
 
