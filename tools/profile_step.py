@@ -34,6 +34,14 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--n-gauss", type=int, default=1 << 20)
     ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--width", type=int, default=None,
+                    help="override rig width (CPU smoke of the harness)")
+    ap.add_argument("--height", type=int, default=None)
+    ap.add_argument("--micro", action="store_true",
+                    help="after the stage profile (process warm — fresh-process "
+                         "probes under-report, see PERF.md), compare candidate "
+                         "implementations of the reduction / binning sort / "
+                         "slot enumeration")
     args = ap.parse_args()
 
     import jax
@@ -58,8 +66,13 @@ def main():
     )
 
     n_gauss = args.n_gauss
+    size = {}
+    if args.width:
+        size = dict(width=args.width, height=args.height or args.width,
+                    fx=args.width / 2.0, fy=args.width / 2.0,
+                    cx=args.width / 2.0, cy=(args.height or args.width) / 2.0)
     cfg = load_params(preset="fastlivo", initial_capacity=n_gauss,
-                      skybox_points_num=0)
+                      skybox_points_num=0, **size)
     intr = Intrinsics(width=cfg.width, height=cfg.height,
                       fx=cfg.fx, fy=cfg.fy, cx=cfg.cx, cy=cfg.cy)
     gm, kf = build_bench_state(n_gauss, cfg, intr)
@@ -204,6 +217,114 @@ def main():
 
     ms = timeit(step_fn, lambda: (jitter(gm), opt), args.iters)
     print(f"WHOLE STEP:         {ms:8.1f} ms  ({1e3 / ms:.2f} it/s)")
+
+    if not args.micro:
+        return
+
+    # ------------------------------------------------------------------
+    # Candidate-implementation probes. Run AFTER the real pipeline above so
+    # the process is warm: fresh-process micro-probes under-report by >10x
+    # through the axon tunnel (PERF.md "timing gotchas").
+    # ------------------------------------------------------------------
+    print("\n--- micro: per-Gaussian reduction strategies ---")
+
+    @jax.jit
+    def red_perm_gather(entry_grads, sorted_gauss, cnt):
+        iota = jnp.arange(m_pad, dtype=jnp.int32)
+        _, perm = jax.lax.sort((sorted_gauss, iota), num_keys=1)
+        g9 = jnp.transpose(entry_grads[:9])          # (M_pad, 9)
+        scols_m = jnp.take(g9, perm, axis=0)          # (M_pad, 9) grouped
+        skey = jnp.sort(sorted_gauss)
+        j = 1
+        cols = scols_m
+        while j < K:
+            same = jnp.concatenate([jnp.zeros((j,), bool), skey[j:] == skey[:-j]])
+            shifted = jnp.concatenate(
+                [jnp.zeros((j, 9), jnp.float32), cols[:-j]])
+            cols = cols + jnp.where(same[:, None], shifted, 0.0)
+            j *= 2
+        off = jnp.cumsum(cnt) - cnt
+        last = jnp.clip(off + cnt - 1, 0, m_pad - 1)
+        g = jnp.take(cols, last, axis=0, mode="clip")
+        return jnp.where((cnt > 0)[:, None], g, 0.0)
+
+    a = stage_reduce(*red_args())
+    b = red_perm_gather(*red_args())
+    print(f"carry-sort (current): {timeit(stage_reduce, red_args, args.iters):8.1f} ms")
+    print(f"perm-sort + gather:   {timeit(red_perm_gather, red_args, args.iters):8.1f} ms"
+          f"   (max dev {float(jnp.max(jnp.abs(a - b))):.2e})")
+
+    print("\n--- micro: binning sort key count (P*K entries) ---")
+    PK = n_gauss * K
+    keys0 = np.random.default_rng(1).integers(
+        0, 1 << 32, size=PK, dtype=np.uint64).astype(np.uint32)
+    keys_dev = jnp.asarray(keys0)
+    slot_ids = jnp.arange(PK, dtype=jnp.int32)
+
+    @jax.jit
+    def sort_nk2(keys):
+        return jax.lax.sort((keys, slot_ids), num_keys=2)[1]
+
+    @jax.jit
+    def sort_nk1(keys):
+        return jax.lax.sort((keys, slot_ids), num_keys=1)[1]
+
+    def fresh_keys():
+        return (keys_dev ^ jnp.uint32(rng.integers(1, 1 << 20)),)
+
+    print(f"num_keys=2 (key+slot as keys): {timeit(sort_nk2, fresh_keys, args.iters):8.1f} ms")
+    print(f"num_keys=1 (slot as payload):  {timeit(sort_nk1, fresh_keys, args.iters):8.1f} ms")
+
+    print("\n--- micro: slot enumeration layout (P,K) vs flat (P*K,) ---")
+
+    @jax.jit
+    def enum_pk(xy, conic, opacity, radius, base_active):
+        tx, ty, slot_valid, in_rect, _ = tiles_ops.compute_slot_tiles(
+            xy, conic, opacity, radius, base_active, grid, K)
+        return tx.astype(jnp.int32) + ty, slot_valid
+
+    @jax.jit
+    def enum_flat(xy, conic, opacity, radius, base_active):
+        # identical math on (P*K,) 1-D arrays (full 128-lane minor dim) with
+        # per-Gaussian values expanded by repeat
+        rminx, rminy, rmaxx, rmaxy = tiles_ops.gaussian_rects(xy, radius, grid)
+        rect_w = rmaxx - rminx
+        rect_count = rect_w * (rmaxy - rminy)
+        rep = lambda v: jnp.repeat(v, K)
+        k = jnp.tile(jnp.arange(K, dtype=jnp.int32), n_gauss)
+        safe_w = jnp.maximum(rep(rect_w), 1)
+        tx = rep(rminx) + k % safe_w
+        ty = rep(rminy) + k // safe_w
+        in_rect = k < rep(rect_count)
+        A, B, C = conic[:, 0], conic[:, 1], conic[:, 2]
+        mx, my = xy[:, 0], xy[:, 1]
+        from gaussian_lic_tpu.ops.projection import max_contrib_power_rect
+        txf = tx.astype(jnp.float32)
+        tyf = ty.astype(jnp.float32)
+        power = max_contrib_power_rect(
+            jnp.stack([rep(A), rep(B), rep(C)], -1),
+            jnp.stack([rep(mx), rep(my)], -1),
+            jnp.stack([txf * grid.tile_w, tyf * grid.tile_h], -1),
+            jnp.stack([(txf + 1) * grid.tile_w - 1,
+                       (tyf + 1) * grid.tile_h - 1], -1),
+        )
+        opt_thresh = jnp.log(
+            jnp.maximum(opacity, OPACITY_THRESHOLD) / OPACITY_THRESHOLD)
+        contributes = power <= rep(opt_thresh)
+        live = base_active & (radius > 0.0)
+        slot_valid = rep(live) & in_rect & contributes
+        return tx + ty, slot_valid
+
+    def enum_args():
+        eps = jnp.float32(rng.uniform(0, 1e-6))
+        return (xy + eps, conic, opacity, radius, base_active)
+
+    sa = enum_pk(*enum_args())[1]
+    sb = enum_flat(*enum_args())[1]
+    agree = float(jnp.mean((sa.reshape(-1) == sb).astype(jnp.float32)))
+    print(f"(P,K) 2-D (current): {timeit(enum_pk, enum_args, args.iters):8.1f} ms")
+    print(f"flat (P*K,) 1-D:     {timeit(enum_flat, enum_args, args.iters):8.1f} ms"
+          f"   (valid-mask agreement {agree:.6f})")
 
 
 if __name__ == "__main__":
