@@ -224,8 +224,10 @@ def bin_gaussians(
     tiles_touched = jnp.sum(slot_valid, axis=1).astype(jnp.int32)
 
     # --- keys & sort --- (band-local tile ids; dead slots masked before the
-    # cast). Truncated-depth keys can collide, so the slot id is a SECOND sort
-    # key, giving a deterministic (tile, depth, insertion-order) total order.
+    # cast). Truncated-depth keys can collide, but `lax.sort` is stable and the
+    # input is in slot-id order, so carrying slot_ids as a PAYLOAD (not a
+    # second key) yields the same deterministic (tile, depth, insertion-order)
+    # total order while each merge pass compares one fewer column.
     tile_id = jnp.where(slot_valid, ty_local * grid.n_tx + tx, 0).astype(jnp.uint32)
     keys = jnp.where(
         slot_valid,
@@ -233,7 +235,7 @@ def bin_gaussians(
         INVALID_KEY,
     ).reshape(-1)
     slot_ids = jnp.arange(P * K, dtype=jnp.int32)
-    sorted_keys, sorted_slots = jax.lax.sort((keys, slot_ids), num_keys=2)
+    sorted_keys, sorted_slots = jax.lax.sort((keys, slot_ids), num_keys=1)
 
     num_valid = jnp.sum(slot_valid).astype(jnp.int32)
     # Slots silently lost to rect truncation: in-band rect tiles whose row-major
