@@ -66,12 +66,19 @@ class Params:
     max_tiles_per_gaussian: int = 8
     splat_chunk: int = 16        # splats blended per vectorized step in the Pallas kernel
     # Sorted-splat-list budget as a multiple of capacity. Measured live entries
-    # are ~1.4/Gaussian at 1M (32×32 tiles); 2.0 gives headroom while keeping
-    # the binning/pack/reduction volumes (all linear in the budget) tight. The
+    # are ~1.4/Gaussian at 1M (32×32 tiles); 1.7 leaves ~24% headroom while
+    # keeping the pack/reduction volumes (linear in the budget) tight. The
     # streaming engine auto-grows this ×1.5 (capped at max_tiles_per_gaussian)
     # and recompiles when a step reports binning overflow — the static-shape
     # analogue of the reference's lazy buffer resize (rasterize_points.cu:40-48).
-    splat_budget_factor: float = 2.0
+    splat_budget_factor: float = 1.7
+    # Multi-chip distributed binning: per-(source device, band) bucket budget as
+    # a multiple of the uniform share (splat budget / D²). Buckets ride the
+    # all_to_all and set the band splat-list length D·m_pair, which the band
+    # merge/pack/blend/reduction volumes all scale with. Spatially clustered
+    # Gaussian shards can skew per-pair loads; send-side loss is counted in
+    # budget_lost and the engine's splat-budget auto-grow recovers it.
+    bucket_overprovision: float = 1.5
 
     # --- capacity management (DESIGN.md §1) ---
     initial_capacity: int = 1 << 18     # Gaussian array capacity at startup

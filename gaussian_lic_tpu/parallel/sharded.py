@@ -122,7 +122,13 @@ def bin_gaussians_sharded(
         assert P % n_dev == 0, "Gaussian capacity must divide the mesh"
         shard = P // n_dev
     num_tiles_local = band_n_ty * grid.n_tx
-    depth_bits = tiles_ops.rank_bits_for(num_tiles_local)
+    # GLOBAL tile ids ride the keys: the destination band is then just the
+    # key's high bits (tile // tiles_per_band), so the local sort needs no
+    # separate band-key column — one u32 key + the slot payload. Depth bits
+    # match the single-chip full-grid packing exactly (same truncation ⇒ same
+    # tie behavior as bin_gaussians on the whole image).
+    depth_bits = tiles_ops.rank_bits_for(grid.n_ty * grid.n_tx)
+    tiles_per_band = num_tiles_local
     dev = lax.axis_index(axis_name)
     g0 = (dev * shard).astype(jnp.int32)
 
@@ -153,28 +159,28 @@ def bin_gaussians_sharded(
     truncated = jnp.sum(
         jnp.where(live_s, jnp.maximum(rect_count - enumerated, 0), 0)
     ).astype(jnp.int32)
-    band = jnp.clip(ty // band_n_ty, 0, n_dev - 1)
-    ty_local = ty - band * band_n_ty
-    tile_local = (ty_local * grid.n_tx + tx).astype(jnp.uint32)
+    tile_global = (ty * grid.n_tx + tx).astype(jnp.uint32)
     packed = jnp.where(
         slot_valid,
-        (tile_local << depth_bits) | dkey_s[:, None],
+        (tile_global << depth_bits) | dkey_s[:, None],
         tiles_ops.INVALID_KEY,
     ).reshape(-1)
-    band_key = jnp.where(slot_valid, band, n_dev).astype(jnp.uint32).reshape(-1)
     gauss = g0 + jax.lax.broadcasted_iota(jnp.int32, (shard, K), 0)
     slot_global = (gauss * K
                    + jax.lax.broadcasted_iota(jnp.int32, (shard, K), 1)).reshape(-1)
 
-    # local sort groups by destination band (then tile, depth, slot id — the
-    # slot id is a key too: truncated-depth keys may collide and the order must
-    # be deterministic across devices)
-    bk, pk, sk = jax.lax.sort((band_key, packed, slot_global), num_keys=3)
+    # one local sort groups by (band, tile, depth) at once — the global tile id
+    # makes the band the key's high bits. Truncated-depth keys may collide, but
+    # the stable sort over the slot-ordered input keeps slot_global a PAYLOAD
+    # while preserving the deterministic cross-device total order.
+    pk, sk = jax.lax.sort((packed, slot_global), num_keys=1)
 
-    # fixed-size per-band buckets (gather formulation; the q-side is tiny)
-    edges = jnp.searchsorted(
-        bk, jnp.arange(n_dev + 1, dtype=jnp.uint32), side="left"
-    ).astype(jnp.int32)
+    # fixed-size per-band buckets (gather formulation; the q-side is tiny).
+    # Band b's key range starts at its first tile's minimal key.
+    band_bounds = (
+        jnp.arange(n_dev + 1, dtype=jnp.uint32) * jnp.uint32(tiles_per_band)
+    ) << depth_bits
+    edges = jnp.searchsorted(pk, band_bounds, side="left").astype(jnp.int32)
     q = jnp.arange(n_dev * m_pair, dtype=jnp.int32)
     b_of_q = q // m_pair
     off = q - b_of_q * m_pair
@@ -194,8 +200,12 @@ def bin_gaussians_sharded(
         send_slots.reshape(n_dev, m_pair), axis_name, split_axis=0, concat_axis=0
     ).reshape(-1)
 
-    # merge the D sorted streams for MY band (slot id again a key — ties)
-    fk, fs = jax.lax.sort((recv_keys, recv_slots), num_keys=2)
+    # merge the D sorted streams for MY band. Ties under the truncated depth
+    # key resolve to slot order even with slot id as a payload: the stable
+    # sort preserves concat order, which is (source device, local position) —
+    # device d owns slot range [d·shard·K, (d+1)·shard·K) and each stream is
+    # already slot-ordered within equal keys, so this IS global slot order.
+    fk, fs = jax.lax.sort((recv_keys, recv_slots), num_keys=1)
     m_eff = n_dev * m_pair
     M_pad = ((m_eff + align - 1) // align) * align
     present = fk != tiles_ops.INVALID_KEY
@@ -203,8 +213,12 @@ def bin_gaussians_sharded(
     sorted_gauss = jnp.concatenate(
         [gauss_raw, jnp.full((M_pad - m_eff,), P, jnp.int32)]
     )
+    # keys carry GLOBAL tile ids; my band's tiles start at dev·tiles_per_band
     sorted_tiles = (fk >> depth_bits).astype(jnp.int32)
-    boundaries = jnp.arange(num_tiles_local + 1, dtype=jnp.int32)
+    boundaries = (
+        jnp.arange(num_tiles_local + 1, dtype=jnp.int32)
+        + dev * tiles_per_band
+    )
     e2 = jnp.searchsorted(sorted_tiles, boundaries, side="left").astype(jnp.int32)
     tile_starts = e2[:-1]
     tile_lens = e2[1:] - e2[:-1]
@@ -243,6 +257,7 @@ def render_band(
     max_total_splats: int,   # per-band splat budget
     axis_name: Optional[str] = None,   # set → distributed binning over the mesh
     n_dev: int = 1,
+    bucket_overprovision: float = 2.0,  # per-(source,band) budget multiple
     interpret=None,          # Pallas interpret override (from the mesh platform)
 ):
     """Per-device differentiable render of one horizontal band of tile rows.
@@ -271,7 +286,11 @@ def render_band(
 
     sg = lax.stop_gradient
     if axis_name is not None and n_dev > 1:
-        m_pair = max(-(-2 * max_total_splats // n_dev) // 256 * 256, 512)
+        m_pair = max(
+            -(-int(bucket_overprovision * max_total_splats) // n_dev)
+            // 256 * 256,
+            512,
+        )
         (sorted_gauss, tile_starts, tile_lens, cnt, _num_valid,
          budget_lost, truncated) = bin_gaussians_sharded(
             sg(proj.xy), sg(proj.depth), sg(proj.conic), sg(opacity), sg(radius),
@@ -416,7 +435,10 @@ def make_sharded_train_step(intr: Intrinsics, cfg: Params, mesh: Mesh,
         cam = kf.camera(intr, idx)
         gt = kf.images[idx].astype(jnp.float32) / 255.0
         m_local = max(_splat_budget_for(capacity, cfg) // n_dev, 1 << 10)
-        m_pair = max(-(-2 * m_local // n_dev) // 256 * 256, 512)
+        m_pair = max(
+            -(-int(cfg.bucket_overprovision * m_local) // n_dev) // 256 * 256,
+            512,
+        )
         sg = lax.stop_gradient
 
         def loss_fn(trainable):
@@ -563,7 +585,9 @@ def make_sharded_render(intr: Intrinsics, cfg: Params, mesh: Mesh,
             tile_h=tile_h, tile_w=tile_w,
             max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
             max_total_splats=m_local,
-            axis_name=axis_name, n_dev=n_dev, interpret=interpret,
+            axis_name=axis_name, n_dev=n_dev,
+            bucket_overprovision=cfg.bucket_overprovision,
+            interpret=interpret,
         )
         img = lax.all_gather(color_l, axis_name, axis=1, tiled=True)[:, :H, :W]
         ft = lax.all_gather(final_t_l, axis_name, axis=0, tiled=True)[:H, :W]
