@@ -57,6 +57,9 @@ def main():
     ap.add_argument("--n-gauss", type=int, default=1 << 20)
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--d", type=int, default=8)
+    ap.add_argument("--width", type=int, default=None,
+                    help="override rig width (CPU smoke of the harness)")
+    ap.add_argument("--height", type=int, default=None)
     args = ap.parse_args()
     D = args.d
 
@@ -79,7 +82,13 @@ def main():
     from gaussian_lic_tpu.parallel.sharded import make_mesh
 
     P = args.n_gauss
-    cfg = load_params(preset="fastlivo", initial_capacity=P, skybox_points_num=0)
+    size = {}
+    if args.width:
+        size = dict(width=args.width, height=args.height or args.width,
+                    fx=args.width / 2.0, fy=args.width / 2.0,
+                    cx=args.width / 2.0, cy=(args.height or args.width) / 2.0)
+    cfg = load_params(preset="fastlivo", initial_capacity=P,
+                      skybox_points_num=0, **size)
     intr = Intrinsics(width=cfg.width, height=cfg.height,
                       fx=cfg.fx, fy=cfg.fy, cx=cfg.cx, cy=cfg.cy)
     gm, kf = build_bench_state(P, cfg, intr)
@@ -92,7 +101,9 @@ def main():
     band_n_ty = grid.n_ty // D
     shard = P // D
     m_local = max(M // D, 1 << 10)
-    m_pair = max(-(-2 * m_local // D) // 256 * 256, 512)
+    m_pair = max(
+        -(-int(cfg.bucket_overprovision * m_local) // D) // 256 * 256, 512
+    )
     m_band = D * m_pair
     m_band_pad = -(-m_band // CHUNK) * CHUNK
     print(f"P={P} D={D} grid={grid.n_tx}x{grid.n_ty} band_n_ty={band_n_ty} "
@@ -127,17 +138,6 @@ def main():
         return a + jnp.float32(rng.uniform(0, 1e-7))
 
     # ---- distributed-binning constituents at per-device shapes ----
-    # (a) global depth ranks — REPLICATED on every device today (sharded.py)
-    @jax.jit
-    def stage_ranks(depth, live):
-        d_ = jnp.where(live, depth, jnp.inf)
-        order = jnp.argsort(d_)
-        return jnp.argsort(order).astype(jnp.uint32)
-
-    rec("depth ranks 2x argsort (replicated)",
-        timeit(stage_ranks, lambda: (fresh(depth), base_active), args.iters))
-    rank = stage_ranks(depth, base_active)
-
     # (b) slot enumeration + exact culling on the P/D shard
     sl = lambda a: a[:shard]
 
@@ -152,31 +152,35 @@ def main():
     tx_s, ty_s, sv_s, _ir, _ri = stage_slots(sl(xy), sl(conic), sl(opacity),
                                              sl(radius), sl(base_active))
 
-    # (c) local 3-way sort of the shard's P/D·K slots by (band, key)
-    rank_bits = tiles_ops.rank_bits_for(band_n_ty * grid.n_tx)
+    # (c) local sort of the shard's P/D·K slots — GLOBAL tile ids in the key
+    # (the band is the key's high bits; single u32 key + slot payload)
+    depth_bits_g = tiles_ops.rank_bits_for(grid.n_ty * grid.n_tx)
+    tiles_per_band = band_n_ty * grid.n_tx
 
     @jax.jit
-    def stage_localsort(sv, ty, tx, rank_s):
-        band = jnp.clip(ty // band_n_ty, 0, D - 1)
-        ty_local = ty - band * band_n_ty
-        tile_local = (ty_local * grid.n_tx + tx).astype(jnp.uint32)
-        packed = jnp.where(sv, (tile_local << rank_bits) | rank_s[:, None],
+    def stage_localsort(sv, ty, tx, depth_s):
+        dkey = tiles_ops.depth_key(depth_s, depth_bits_g)
+        tile_global = (ty * grid.n_tx + tx).astype(jnp.uint32)
+        packed = jnp.where(sv, (tile_global << depth_bits_g) | dkey[:, None],
                            tiles_ops.INVALID_KEY).reshape(-1)
-        band_key = jnp.where(sv, band, D).astype(jnp.uint32).reshape(-1)
         slot_global = jax.lax.broadcasted_iota(
             jnp.int32, (shard * K,), 0)
-        return jax.lax.sort((band_key, packed, slot_global), num_keys=2)
+        return jax.lax.sort((packed, slot_global), num_keys=1)
 
-    rec("local sort P/D*K (2key+payload)",
+    rec("local sort P/D*K (1key+payload)",
         timeit(stage_localsort,
-               lambda: (sv_s, ty_s, tx_s, fresh(rank[:shard].astype(jnp.float32)).astype(jnp.uint32)),
+               lambda: (sv_s, ty_s, tx_s, fresh(depth[:shard])),
                args.iters))
-    bk, pk, sk = stage_localsort(sv_s, ty_s, tx_s, rank[:shard])
+    pk, sk = stage_localsort(sv_s, ty_s, tx_s, depth[:shard])
 
-    # (d) bucket build (searchsorted edges + fixed-size gather)
+    # (d) bucket build (band-boundary-key edges + fixed-size gather)
+    band_bounds = (
+        jnp.arange(D + 1, dtype=jnp.uint32) * jnp.uint32(tiles_per_band)
+    ) << depth_bits_g
+
     @jax.jit
-    def stage_bucket(bk, pk, sk):
-        edges = jnp.searchsorted(bk, jnp.arange(D + 1, dtype=jnp.uint32),
+    def stage_bucket(pk, sk):
+        edges = jnp.searchsorted(pk, band_bounds,
                                  side="left").astype(jnp.int32)
         q = jnp.arange(D * m_pair, dtype=jnp.int32)
         b_of_q = q // m_pair
@@ -189,8 +193,8 @@ def main():
         return send_keys, send_slots
 
     rec("bucket build (gather D*m_pair)",
-        timeit(stage_bucket, lambda: (bk, pk, sk), args.iters))
-    send_keys, send_slots = stage_bucket(bk, pk, sk)
+        timeit(stage_bucket, lambda: (pk, sk), args.iters))
+    send_keys, send_slots = stage_bucket(pk, sk)
 
     # (e) band merge sort of the D incoming streams
     @jax.jit
@@ -354,7 +358,6 @@ def main():
     gt = kf.images[0].astype(jnp.float32) / 255.0
     H, W = intr.height, intr.width
     num_tiles_local = band_rows * grid.n_tx
-    depth_bits = tiles_ops.rank_bits_for(num_tiles_local)
     from gaussian_lic_tpu.ops.rasterize import _make_blend
     from gaussian_lic_tpu.ops.blend_pallas import ROW_Y
 
@@ -381,16 +384,13 @@ def main():
         tx2, ty2, sv2, _ir2, _ri2 = tiles_ops.compute_slot_tiles(
             sg(proj.xy), sg(proj.conic), sg(opa), sg(radius_), base_active,
             grid, K)
-        dkey = tiles_ops.depth_key(sg(proj.depth), depth_bits)
-        band = jnp.clip(ty2 // band_rows, 0, D - 1)
-        ty_local = ty2 - band * band_rows
-        tile_local = (ty_local * grid.n_tx + tx2).astype(jnp.uint32)
-        packed = jnp.where(sv2, (tile_local << depth_bits) | dkey[:, None],
+        dkey = tiles_ops.depth_key(sg(proj.depth), depth_bits_g)
+        tile_global2 = (ty2 * grid.n_tx + tx2).astype(jnp.uint32)
+        packed = jnp.where(sv2, (tile_global2 << depth_bits_g) | dkey[:, None],
                            tiles_ops.INVALID_KEY).reshape(-1)
-        band_key = jnp.where(sv2, band, D).astype(jnp.uint32).reshape(-1)
         slot_global = jax.lax.broadcasted_iota(jnp.int32, (shard * K,), 0)
-        bk2, pk2, sk2 = jax.lax.sort((band_key, packed, slot_global), num_keys=3)
-        edges = jnp.searchsorted(bk2, jnp.arange(D + 1, dtype=jnp.uint32),
+        pk2, sk2 = jax.lax.sort((packed, slot_global), num_keys=1)
+        edges = jnp.searchsorted(pk2, band_bounds,
                                  side="left").astype(jnp.int32)
         q = jnp.arange(D * m_pair, dtype=jnp.int32)
         b_of_q = q // m_pair
@@ -401,15 +401,15 @@ def main():
         send_keys = jnp.where(valid_q, pk2[src], tiles_ops.INVALID_KEY)
         send_slots = jnp.where(valid_q, sk2[src], -1)
         recv_keys, recv_slots = send_keys, send_slots   # all_to_all stub
-        fk2, fs2 = jax.lax.sort((recv_keys, recv_slots), num_keys=2)
+        fk2, fs2 = jax.lax.sort((recv_keys, recv_slots), num_keys=1)
         m_eff2 = D * m_pair
         M_pad2 = -(-m_eff2 // CHUNK) * CHUNK
         present = fk2 != tiles_ops.INVALID_KEY
         gauss_raw = jnp.where(present, fs2 // K, P).astype(jnp.int32)
         sorted_gauss = jnp.concatenate(
             [gauss_raw, jnp.full((M_pad2 - m_eff2,), P, jnp.int32)])
-        sorted_tiles = (fk2 >> depth_bits).astype(jnp.int32)
-        bounds = jnp.arange(num_tiles_local + 1, dtype=jnp.int32)
+        sorted_tiles = (fk2 >> depth_bits_g).astype(jnp.int32)
+        bounds = jnp.arange(num_tiles_local + 1, dtype=jnp.int32)  # band 0
         e2 = jnp.searchsorted(sorted_tiles, bounds, side="left").astype(jnp.int32)
         tile_starts, tile_lens = e2[:-1], e2[1:] - e2[:-1]
         slot_present = (
