@@ -248,11 +248,55 @@ def main():
         g = jnp.take(cols, last, axis=0, mode="clip")
         return jnp.where((cnt > 0)[:, None], g, 0.0)
 
+    @jax.jit
+    def red_scatter_last(entry_grads, sorted_gauss, cnt):
+        # cnt-free: run-last positions from key boundaries, one scatter-set of
+        # ≤P rows into (P, 9) — would let binning skip building cnt entirely
+        outs = jax.lax.sort(
+            (sorted_gauss,) + tuple(entry_grads[i] for i in range(9)), num_keys=1)
+        skey, scols = outs[0], list(outs[1:])
+        j = 1
+        while j < K:
+            same = jnp.concatenate([jnp.zeros((j,), bool), skey[j:] == skey[:-j]])
+            for qi in range(9):
+                shifted = jnp.concatenate(
+                    [jnp.zeros((j,), jnp.float32), scols[qi][:-j]])
+                scols[qi] = scols[qi] + jnp.where(same, shifted, 0.0)
+            j *= 2
+        is_last = jnp.concatenate([skey[:-1] != skey[1:], jnp.ones((1,), bool)])
+        dst = jnp.where(is_last, skey, n_gauss)  # dead id P also dropped
+        stacked = jnp.stack(scols, axis=1)
+        return (jnp.zeros((n_gauss, 9), jnp.float32)
+                .at[dst].set(stacked, mode="drop", unique_indices=True))
+
     a = stage_reduce(*red_args())
     b = red_perm_gather(*red_args())
+    c = red_scatter_last(*red_args())
     print(f"carry-sort (current): {timeit(stage_reduce, red_args, args.iters):8.1f} ms")
     print(f"perm-sort + gather:   {timeit(red_perm_gather, red_args, args.iters):8.1f} ms"
           f"   (max dev {float(jnp.max(jnp.abs(a - b))):.2e})")
+    print(f"carry-sort + scatter-last (cnt-free): "
+          f"{timeit(red_scatter_last, red_args, args.iters):8.1f} ms"
+          f"   (max dev {float(jnp.max(jnp.abs(a - c))):.2e})")
+
+    print("\n--- micro: pack gather row width (latency vs bandwidth) ---")
+    rows_f32 = jnp.zeros((n_gauss, SPLAT_ROWS), jnp.float32) + xy[:, :1]
+    rows_bf16 = rows_f32.astype(jnp.bfloat16)
+
+    @jax.jit
+    def gather_f32(rows, ids):
+        return jnp.take(rows, ids, axis=0, mode="fill", fill_value=0.0)
+
+    @jax.jit
+    def gather_bf16(rows, ids):
+        return jnp.take(rows, ids, axis=0, mode="fill", fill_value=0.0)
+
+    def g_args(rows):
+        return lambda: (rows + jnp.asarray(rng.uniform(0, 1e-4), rows.dtype),
+                        binning.sorted_gauss)
+
+    print(f"gather rows16 f32:  {timeit(gather_f32, g_args(rows_f32), args.iters):8.1f} ms")
+    print(f"gather rows16 bf16: {timeit(gather_bf16, g_args(rows_bf16), args.iters):8.1f} ms")
 
     print("\n--- micro: binning sort key count (P*K entries) ---")
     PK = n_gauss * K
