@@ -363,12 +363,44 @@ def main():
         eps = jnp.float32(rng.uniform(0, 1e-6))
         return (xy + eps, conic, opacity, radius, base_active)
 
+    @jax.jit
+    def enum_kp(xy, conic, opacity, radius, base_active):
+        # K-major (K, P) layout: P on the minor (lane) axis → full 128-lane
+        # vregs; per-Gaussian values broadcast along axis 0, k along axis 1
+        rminx, rminy, rmaxx, rmaxy = tiles_ops.gaussian_rects(xy, radius, grid)
+        rect_w = rmaxx - rminx
+        rect_count = rect_w * (rmaxy - rminy)
+        k = jnp.arange(K, dtype=jnp.int32)[:, None]          # (K, 1)
+        safe_w = jnp.maximum(rect_w, 1)[None, :]             # (1, P)
+        tx = rminx[None, :] + k % safe_w
+        ty = rminy[None, :] + k // safe_w
+        in_rect = k < rect_count[None, :]
+        from gaussian_lic_tpu.ops.projection import max_contrib_power_rect
+        txf = tx.astype(jnp.float32)
+        tyf = ty.astype(jnp.float32)
+        power = max_contrib_power_rect(
+            conic[None, :, :], xy[None, :, :],
+            jnp.stack([txf * grid.tile_w, tyf * grid.tile_h], -1),
+            jnp.stack([(txf + 1) * grid.tile_w - 1,
+                       (tyf + 1) * grid.tile_h - 1], -1),
+        )
+        opt_thresh = jnp.log(
+            jnp.maximum(opacity, OPACITY_THRESHOLD) / OPACITY_THRESHOLD)
+        contributes = power <= opt_thresh[None, :]
+        live = base_active & (radius > 0.0)
+        slot_valid = live[None, :] & in_rect & contributes
+        return tx + ty, slot_valid
+
     sa = enum_pk(*enum_args())[1]
     sb = enum_flat(*enum_args())[1]
+    sc = enum_kp(*enum_args())[1]
     agree = float(jnp.mean((sa.reshape(-1) == sb).astype(jnp.float32)))
+    agree_kp = float(jnp.mean((sa == sc.T).astype(jnp.float32)))
     print(f"(P,K) 2-D (current): {timeit(enum_pk, enum_args, args.iters):8.1f} ms")
     print(f"flat (P*K,) 1-D:     {timeit(enum_flat, enum_args, args.iters):8.1f} ms"
           f"   (valid-mask agreement {agree:.6f})")
+    print(f"K-major (K,P) 2-D:   {timeit(enum_kp, enum_args, args.iters):8.1f} ms"
+          f"   (valid-mask agreement {agree_kp:.6f})")
 
 
 if __name__ == "__main__":
