@@ -503,6 +503,90 @@ class MappingEngine:
     def train_camera(self, idx: int) -> Camera:
         return self.kf_buffer.camera(self.intr, jnp.asarray(idx, jnp.int32))
 
+    def measure_phase_split(self, iters: int = 5) -> Dict[str, float]:
+        """Forward/backward/optimizer wall-time split per train iteration
+        (the reference prints these live, mapping.cpp:188-195; gaussian.h:179).
+
+        The production step is ONE fused XLA program — per-phase times are not
+        observable during training without serializing it. This compiles two
+        nested prefixes of the step (loss only; loss+gradients) once on the
+        final map state and differences their timings: fwd = t(loss),
+        bwd = t(grad) − t(loss), optim = t(step) − t(grad). There is no
+        CPU2GPU phase by design: keyframes are device-resident (C4 redesign).
+        Single-chip only (the sharded step's phases overlap with collectives).
+        """
+        if not self.initialized or self.kf_count == 0:
+            return {}
+        if self.mesh is not None:
+            print("[phase-split] sharded step: phases overlap with ICI "
+                  "collectives; reporting whole-step only")
+            return {}
+        cfg = self.cfg
+        intr = self.intr
+
+        @jax.jit
+        def fwd_only(gm, kf, idx):
+            cam = kf.camera(intr, idx)
+            gt = kf.images[idx].astype(jnp.float32) / 255.0
+            out = render_map(
+                gm, cam, apply_exposure=cfg.apply_exposure,
+                tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+                max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
+                max_total_splats=_splat_budget(gm.capacity, cfg),
+            )
+            return losses.training_loss(out.image, gt, cfg.lambda_dssim)
+
+        @jax.jit
+        def fwd_bwd(gm, kf, idx):
+            def loss_fn(trainable):
+                gm2 = gm.with_trainable(trainable)
+                out = render_map(
+                    gm2, cam, apply_exposure=cfg.apply_exposure,
+                    tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+                    max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
+                    max_total_splats=_splat_budget(gm.capacity, cfg),
+                )
+                return losses.training_loss(out.image, gt, cfg.lambda_dssim)
+
+            cam = kf.camera(intr, idx)
+            gt = kf.images[idx].astype(jnp.float32) / 255.0
+            loss, grads = jax.value_and_grad(loss_fn)(gm.trainable())
+            return loss, grads
+
+        step = _make_train_step(intr, cfg)
+        idx = jnp.asarray(0, jnp.int32)
+        es = jnp.asarray(max(self.exposure_steps, 1), jnp.int32)
+
+        def timeit(fn):
+            fn(self.gm, self.kf_buffer, idx)  # compile + warm
+            eps = 0.0
+            t0 = time.perf_counter()
+            for _ in range(iters):
+                eps += 1e-7  # fresh params per call → no dispatch memoization
+                gm_j = self.gm.replace(xyz=self.gm.xyz + eps)
+                out = fn(gm_j, self.kf_buffer, idx)
+            jax.block_until_ready(out)
+            return (time.perf_counter() - t0) / iters * 1e3
+
+        t_fwd = timeit(fwd_only)
+        t_fb = timeit(lambda gm, kf, i: fwd_bwd(gm, kf, i)[0])
+        t_step = timeit(
+            lambda gm, kf, i: step(gm, self.opt_state, kf, i, es)[0].xyz
+        )
+        split = {
+            "forward_ms": round(t_fwd, 2),
+            "backward_ms": round(max(t_fb - t_fwd, 0.0), 2),
+            "optimizer_ms": round(max(t_step - t_fb, 0.0), 2),
+            "whole_step_ms": round(t_step, 2),
+        }
+        print("===== per-phase step split (cf. mapping.cpp:188-195) =====")
+        print(f"  forward   : {split['forward_ms']:.2f} ms")
+        print(f"  backward  : {split['backward_ms']:.2f} ms")
+        print(f"  optimizer : {split['optimizer_ms']:.2f} ms")
+        print(f"  whole step: {split['whole_step_ms']:.2f} ms  "
+              "(CPU2GPU: none — keyframes are device-resident)")
+        return split
+
 
 def _pad_like(x: jnp.ndarray, target: jnp.ndarray) -> jnp.ndarray:
     extra = target.shape[0] - x.shape[0]

@@ -29,13 +29,22 @@ def _build() -> Optional[str]:
         return None
     if os.path.exists(_SO) and os.path.getmtime(_SO) >= os.path.getmtime(_SRC):
         return _SO
+    # Build to a process-unique temp path and atomically rename: concurrent
+    # processes (e.g. parallel test runs) building on demand must never see a
+    # half-written .so (dlopen of a truncated file fails or crashes).
+    tmp = f"{_SO}.build.{os.getpid()}"
     cmd = [
         "g++", "-O3", "-std=c++17", "-shared", "-fPIC",
-        "-o", _SO, _SRC,
+        "-o", tmp, _SRC,
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
-    except (subprocess.SubprocessError, FileNotFoundError):
+        os.replace(tmp, _SO)  # atomic on POSIX
+    except (subprocess.SubprocessError, FileNotFoundError, OSError):
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
         return None
     return _SO
 

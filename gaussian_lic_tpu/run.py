@@ -58,7 +58,24 @@ def run_stream(
     watchdog = Watchdog()
     t_start = time.perf_counter()
     n_frames = 0
-    for frame in frames:
+    frame_iter = iter(frames)
+    while True:
+        # The reference watchdog fires on >1 s without a POINT MESSAGE
+        # (mapping.cpp:224-234) — source silence, not mapping latency (its
+        # subscriber callbacks run on their own thread). In this synchronous
+        # replay loop the equivalent is the time spent WAITING on the source
+        # iterator; counting engine.add_frame time would end slow-hardware
+        # runs spuriously.
+        t_wait = time.monotonic()
+        try:
+            frame = next(frame_iter)
+        except StopIteration:
+            break
+        source_wait = time.monotonic() - t_wait
+        if use_aligner and watchdog.initialized and source_wait > watchdog.timeout:
+            print("[watchdog] >1 s without point data — ending the run "
+                  "(mapping.cpp:224-234)")
+            break
         if use_aligner:
             # the three reference topics (/points_for_gs /pose_for_gs /image_for_gs)
             aligner.push_points(frame.timestamp, (frame.points, frame.colors))
@@ -74,10 +91,6 @@ def run_stream(
             )
         was_kf = engine.add_frame(frame)
         watchdog.initialized = engine.initialized
-        if use_aligner and watchdog.expired(aligner):
-            print("[watchdog] >1 s without point data — ending the run "
-                  "(mapping.cpp:224-234)")
-            break
         n_frames += 1
         if verbose and was_kf:
             m = engine.last_metrics
@@ -132,6 +145,10 @@ def main(argv: Optional[list] = None) -> int:
     ap.add_argument("--profile", metavar="DIR",
                     help="write a jax.profiler trace of the run to DIR "
                          "(the TPU equivalent of the reference's phase timers)")
+    ap.add_argument("--phase-timers", action="store_true",
+                    help="measure the forward/backward/optimizer split of one "
+                         "train step at end of run (mapping.cpp:188-195 "
+                         "analogue; costs two extra compiles)")
     ap.add_argument("--quiet", action="store_true")
     args = ap.parse_args(argv)
 
@@ -202,6 +219,9 @@ def main(argv: Optional[list] = None) -> int:
 
             jax.profiler.stop_trace()
             print(f"profiler trace written to {args.profile}")
+
+    if args.phase_timers:
+        engine.measure_phase_split()
 
     results = engine.finalize()
     if results:
