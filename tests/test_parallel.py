@@ -283,3 +283,59 @@ class TestEngineWithMesh:
         # identical math up to reduction order → near-identical quality
         assert abs(r1["train_psnr"] - r8["train_psnr"]) < 0.1
         assert r8["train_psnr"] > 14.0
+
+
+class TestDepthKeyTies:
+    """Stress the stable-sort ordering argument: with MANY Gaussians at the
+    exact same depth (identical truncated depth keys) overlapping the same
+    tiles, the blend order within a tile is slot-insertion order carried as a
+    sort PAYLOAD (tiles.py / sharded.py num_keys=1). Distributed binning must
+    reproduce the single-chip order exactly — any tie-order divergence shows
+    up as a color difference through the distinct per-Gaussian colors."""
+
+    def test_tied_depths_match_single_chip_exactly(self):
+        P = 64
+        rng = np.random.default_rng(3)
+        intr = Intrinsics(width=128, height=64, fx=60.0, fy=60.0,
+                          cx=64.0, cy=32.0)
+        cfg = Params(
+            width=128, height=64, fx=60.0, fy=60.0, cx=64.0, cy=32.0,
+            skybox_points_num=0, initial_capacity=P,
+            max_tiles_per_gaussian=16, max_train_keyframes=2,
+            tile_h=8, tile_w=128,
+        )
+        # all points on the same z-plane → identical depths → identical
+        # truncated depth keys; spread over the image with big overlapping
+        # footprints and semi-transparent opacities so order matters
+        pts = np.stack([
+            rng.uniform(-1.5, 1.5, P), rng.uniform(-0.7, 0.7, P),
+            np.full(P, 4.0),
+        ], axis=1).astype(np.float32)
+        cols = rng.uniform(0.05, 0.95, (P, 3)).astype(np.float32)
+        gm = initialize_map(
+            pts, cols, np.full(P, 4.0, np.float32),
+            focal=60.0, scaling_scale=8.0, sh_degree=0, capacity=P,
+        )
+        world = make_world(rng, n_points=64)
+        frames = make_sequence(world, n_frames=1, points_per_frame=32, rng=rng)
+        kf = KeyframeBuffer.empty(2, intr)
+        kf = kf.set_frame(0, build_camera(intr, frames[0]), frames[0].image_u8())
+
+        cam = KeyframeBuffer.camera(kf, intr, jnp.asarray(0, jnp.int32))
+        ref = render_map(gm, cam, tile_h=cfg.tile_h, tile_w=cfg.tile_w,
+                         max_tiles_per_gaussian=16, max_total_splats=1 << 12)
+        # sanity: the scene actually has heavy per-tile overlap
+        assert int(jnp.max(ref.n_contrib)) > 8
+
+        # tolerance: float reassociation between the two compiled programs is
+        # ~1e-7; a single tie-order swap at these opacities/colors would show
+        # as ~1e-2 — atol=2e-6 separates the two by 4 orders of magnitude
+        for n in (2, 8):
+            render_n = make_sharded_render(intr, cfg, make_mesh(n))
+            img, ft = render_n(gm, kf, jnp.asarray(0, jnp.int32))
+            np.testing.assert_allclose(
+                np.asarray(img), np.asarray(ref.image), atol=2e-6
+            )
+            np.testing.assert_allclose(
+                np.asarray(ft), np.asarray(ref.final_T), atol=2e-6
+            )
