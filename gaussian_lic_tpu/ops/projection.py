@@ -197,30 +197,42 @@ def max_contrib_power_rect(
     rect_min: jnp.ndarray, # (..., 2) tile pixel min (inclusive)
     rect_max: jnp.ndarray, # (..., 2) tile pixel max (inclusive)
 ) -> jnp.ndarray:
+    """StopThePop exact tile culling on stacked inputs — see
+    max_contrib_power_rect_components for the math and parity notes."""
+    return max_contrib_power_rect_components(
+        conic[..., 0], conic[..., 1], conic[..., 2],
+        xy[..., 0], xy[..., 1],
+        rect_min[..., 0], rect_min[..., 1],
+        rect_max[..., 0], rect_max[..., 1],
+    )
+
+
+def max_contrib_power_rect_components(
+    A, B, C,               # conic components, any broadcastable shape
+    mx, my,                # Gaussian pixel center
+    rminx, rminy,          # tile pixel min (inclusive)
+    rmaxx, rmaxy,          # tile pixel max (inclusive)
+) -> jnp.ndarray:
     """StopThePop exact tile culling: the minimum of the Gaussian power
     q(d) = 0.5(A dx² + C dy²) + B dx dy over a pixel rect.
 
     Parity with max_contrib_power_rect_gaussian_float (forward.h:39-80): a tile
     contributes iff this min-power ≤ log(opacity/THRESHOLD). Returns 0 when the
-    center lies inside the rect.
+    center lies inside the rect. Component-array form so callers in any data
+    layout avoid building (..., 2)/(..., 3) stacked intermediates.
     """
-    A = conic[..., 0]
-    B = conic[..., 1]
-    C = conic[..., 2]
-    mx = xy[..., 0]
-    my = xy[..., 1]
-    x_min_diff = rect_min[..., 0] - mx
-    y_min_diff = rect_min[..., 1] - my
+    x_min_diff = rminx - mx
+    y_min_diff = rminy - my
     x_left = (x_min_diff > 0.0).astype(jnp.float32)
     y_above = (y_min_diff > 0.0).astype(jnp.float32)
-    not_in_x = x_left + (mx > rect_max[..., 0]).astype(jnp.float32)
-    not_in_y = y_above + (my > rect_max[..., 1]).astype(jnp.float32)
+    not_in_x = x_left + (mx > rmaxx).astype(jnp.float32)
+    not_in_y = y_above + (my > rmaxy).astype(jnp.float32)
 
-    size_x = rect_max[..., 0] - rect_min[..., 0]
-    size_y = rect_max[..., 1] - rect_min[..., 1]
+    size_x = rmaxx - rminx
+    size_y = rmaxy - rminy
 
-    px = x_left * rect_min[..., 0] + (1.0 - x_left) * rect_max[..., 0]
-    py = y_above * rect_min[..., 1] + (1.0 - y_above) * rect_max[..., 1]
+    px = x_left * rminx + (1.0 - x_left) * rmaxx
+    py = y_above * rminy + (1.0 - y_above) * rmaxy
 
     dx = jnp.where(x_min_diff >= 0, size_x, -size_x)  # copysign(size, diff)
     dy = jnp.where(y_min_diff >= 0, size_y, -size_y)

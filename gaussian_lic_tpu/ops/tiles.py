@@ -30,7 +30,11 @@ from typing import NamedTuple
 import jax
 import jax.numpy as jnp
 
-from gaussian_lic_tpu.ops.projection import OPACITY_THRESHOLD, max_contrib_power_rect
+from gaussian_lic_tpu.ops.projection import (
+    OPACITY_THRESHOLD,
+    max_contrib_power_rect,
+    max_contrib_power_rect_components,
+)
 
 INVALID_KEY = jnp.uint32(0xFFFFFFFF)
 # Key packing (tile_id << depth_bits) | truncated_depth into uint32. depth_bits
@@ -172,6 +176,93 @@ def compute_slot_tiles(
     return tx, ty, slot_valid, in_rect, (rminy, rmaxy, rect_w)
 
 
+def compute_slot_keys_kmajor(
+    xy: jnp.ndarray,       # (P,2)
+    dkey: jnp.ndarray,     # (P,) truncated depth key (depth_key())
+    conic: jnp.ndarray,    # (P,3)
+    opacity: jnp.ndarray,  # (P,)
+    radius: jnp.ndarray,   # (P,)
+    live: jnp.ndarray,     # (P,) bool
+    grid: TileGrid,
+    K: int,
+    depth_bits: int,
+    band_ty0=None,         # traced int32 (None → row 0)
+    band_n_ty: int = None, # None → no band filtering, GLOBAL tile ids
+):
+    """Slot enumeration + StopThePop exact culling + key packing, computed
+    K-MAJOR: every per-slot array is (K, P) with the Gaussian axis minor, so
+    the heavy per-slot math runs on full 128-lane vregs — a (P, K=8) layout
+    puts the 8-wide slot axis on the lanes and wastes 15/16 of each vreg.
+    One transpose relayouts the packed keys back to slot-id (p-major) order,
+    which the stable binning sort's payload-order tie argument requires.
+
+    With band_n_ty set, keys use BAND-LOCAL tile ids and out-of-band slots are
+    dead (bin_gaussians semantics); otherwise GLOBAL tile ids
+    (bin_gaussians_sharded semantics). Returns
+    (keys (P·K,) p-major uint32, tiles_touched (P,) int32 live slots,
+    truncated () int32 rect tiles lost to the K-slot cap [band-aware]).
+    """
+    P = xy.shape[0]
+    rminx, rminy, rmaxx, rmaxy = gaussian_rects(xy, radius, grid)
+    rect_w = rmaxx - rminx
+    rect_count = rect_w * (rmaxy - rminy)
+
+    k = jnp.arange(K, dtype=jnp.int32)[:, None]            # (K, 1)
+    safe_w = jnp.maximum(rect_w, 1)[None, :]               # (1, P)
+    tx = rminx[None, :] + k % safe_w                       # (K, P)
+    ty = rminy[None, :] + k // safe_w
+    in_rect = k < rect_count[None, :]
+
+    txf = tx.astype(jnp.float32)
+    tyf = ty.astype(jnp.float32)
+    power = max_contrib_power_rect_components(
+        conic[None, :, 0], conic[None, :, 1], conic[None, :, 2],
+        xy[None, :, 0], xy[None, :, 1],
+        txf * grid.tile_w, tyf * grid.tile_h,
+        (txf + 1.0) * grid.tile_w - 1.0, (tyf + 1.0) * grid.tile_h - 1.0,
+    )
+    opacity_power_threshold = jnp.log(
+        jnp.maximum(opacity, OPACITY_THRESHOLD) / OPACITY_THRESHOLD
+    )
+    contributes = power <= opacity_power_threshold[None, :]
+    slot_valid = live[None, :] & in_rect & contributes     # (K, P)
+
+    if band_n_ty is not None:
+        if band_ty0 is None:
+            band_ty0 = jnp.int32(0)
+        ty_local = ty - band_ty0
+        in_band = (ty_local >= 0) & (ty_local < band_n_ty)
+        slot_valid = slot_valid & in_band
+        tile_id = jnp.where(
+            slot_valid, ty_local * grid.n_tx + tx, 0
+        ).astype(jnp.uint32)
+        band_end = band_ty0 + band_n_ty
+        rows_in_band = jnp.clip(
+            jnp.minimum(rmaxy, band_end) - jnp.maximum(rminy, band_ty0), 0, None
+        )
+        in_scope_total = rows_in_band * rect_w             # (P,)
+        enumerated = jnp.sum((in_rect & in_band).astype(jnp.int32), axis=0)
+    else:
+        tile_id = jnp.where(
+            slot_valid, ty * grid.n_tx + tx, 0
+        ).astype(jnp.uint32)
+        in_scope_total = rect_count
+        enumerated = jnp.sum(in_rect.astype(jnp.int32), axis=0)
+
+    truncated = jnp.sum(
+        jnp.where(live, jnp.maximum(in_scope_total - enumerated, 0), 0)
+    ).astype(jnp.int32)
+    tiles_touched = jnp.sum(slot_valid, axis=0).astype(jnp.int32)
+
+    keys_kp = jnp.where(
+        slot_valid,
+        (tile_id << depth_bits) | dkey[None, :],
+        INVALID_KEY,
+    )
+    keys = keys_kp.T.reshape(-1)   # (P·K,) p-major — the ONE relayout
+    return keys, tiles_touched, truncated
+
+
 @functools.partial(
     jax.jit,
     static_argnames=(
@@ -213,42 +304,20 @@ def bin_gaussians(
     live = active & (radius > 0.0)
     dkey = depth_key(depth, depth_bits)
 
-    tx, ty, slot_valid_noband, in_rect, rect_info = compute_slot_tiles(
-        xy, conic, opacity, radius, live, grid, K
+    # K-major slot enumeration + exact culling + key packing (full-lane
+    # layout; see compute_slot_keys_kmajor), transposed back to slot-id order.
+    # Truncated-depth keys can collide, but `lax.sort` is stable and the input
+    # is in slot-id order, so carrying slot_ids as a PAYLOAD (not a second
+    # key) yields the same deterministic (tile, depth, insertion-order) total
+    # order while each merge pass compares one fewer column.
+    keys, tiles_touched, truncated = compute_slot_keys_kmajor(
+        xy, dkey, conic, opacity, radius, live, grid, K, depth_bits,
+        band_ty0=band_ty0, band_n_ty=n_ty_local,
     )
-    rminy, rmaxy, rect_w = rect_info
-
-    ty_local = ty - band_ty0
-    in_band = (ty_local >= 0) & (ty_local < n_ty_local)
-    slot_valid = slot_valid_noband & in_band  # (P, K)
-    tiles_touched = jnp.sum(slot_valid, axis=1).astype(jnp.int32)
-
-    # --- keys & sort --- (band-local tile ids; dead slots masked before the
-    # cast). Truncated-depth keys can collide, but `lax.sort` is stable and the
-    # input is in slot-id order, so carrying slot_ids as a PAYLOAD (not a
-    # second key) yields the same deterministic (tile, depth, insertion-order)
-    # total order while each merge pass compares one fewer column.
-    tile_id = jnp.where(slot_valid, ty_local * grid.n_tx + tx, 0).astype(jnp.uint32)
-    keys = jnp.where(
-        slot_valid,
-        (tile_id << depth_bits) | dkey[:, None],
-        INVALID_KEY,
-    ).reshape(-1)
     slot_ids = jnp.arange(P * K, dtype=jnp.int32)
     sorted_keys, sorted_slots = jax.lax.sort((keys, slot_ids), num_keys=1)
 
-    num_valid = jnp.sum(slot_valid).astype(jnp.int32)
-    # Slots silently lost to rect truncation: in-band rect tiles whose row-major
-    # index within the rect is >= K (we only enumerate the first K slots).
-    band_end = band_ty0 + n_ty_local
-    rows_in_band = jnp.clip(
-        jnp.minimum(rmaxy, band_end) - jnp.maximum(rminy, band_ty0), 0, None
-    )
-    in_band_total = rows_in_band * rect_w
-    in_band_enumerated = jnp.sum((in_rect & in_band).astype(jnp.int32), axis=1)
-    truncated = jnp.sum(
-        jnp.where(live, jnp.maximum(in_band_total - in_band_enumerated, 0), 0)
-    ).astype(jnp.int32)
+    num_valid = jnp.sum(tiles_touched).astype(jnp.int32)
     budget_lost = jnp.maximum(num_valid - M, 0)
     overflow = truncated + budget_lost
 
@@ -265,12 +334,12 @@ def bin_gaussians(
         bk_slot = sorted_slots[m_eff]
         k2 = keys.reshape(P, K)
         s2 = slot_ids.reshape(P, K)
-        survive = slot_valid & (
+        survive = (k2 != INVALID_KEY) & (
             (k2 < bk_key) | ((k2 == bk_key) & (s2 < bk_slot))
         )
+        cnt = jnp.sum(survive, axis=1).astype(jnp.int32)
     else:
-        survive = slot_valid
-    cnt = jnp.sum(survive, axis=1).astype(jnp.int32)
+        cnt = tiles_touched
 
     # --- budget truncation + per-tile ranges (ranges stay UNALIGNED: the blend
     # kernels walk globally chunk-aligned windows and mask entries outside

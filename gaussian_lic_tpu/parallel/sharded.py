@@ -147,24 +147,12 @@ def bin_gaussians_sharded(
     # replicated full-P argsorts on every device — gone)
     dkey_s = tiles_ops.depth_key(depth_s, depth_bits)
 
-    tx, ty, slot_valid, in_rect, rect_info = tiles_ops.compute_slot_tiles(
-        xy_s, conic_s, opa_s, rad_s, live_s, grid, K
+    # K-major slot enumeration + exact culling + GLOBAL-tile key packing
+    # (full-lane layout, transposed back to slot order — tiles.py). truncated
+    # counts this shard's rect tiles lost to the K-slot cap.
+    packed, _tt, truncated = tiles_ops.compute_slot_keys_kmajor(
+        xy_s, dkey_s, conic_s, opa_s, rad_s, live_s, grid, K, depth_bits,
     )
-    # rect tiles whose row-major index ≥ K are never enumerated (slot
-    # truncation) — count them over this device's Gaussian shard
-    _rminy, _rmaxy, rect_w = rect_info
-    rect_h = _rmaxy - _rminy
-    rect_count = rect_w * rect_h
-    enumerated = jnp.sum(in_rect.astype(jnp.int32), axis=1)
-    truncated = jnp.sum(
-        jnp.where(live_s, jnp.maximum(rect_count - enumerated, 0), 0)
-    ).astype(jnp.int32)
-    tile_global = (ty * grid.n_tx + tx).astype(jnp.uint32)
-    packed = jnp.where(
-        slot_valid,
-        (tile_global << depth_bits) | dkey_s[:, None],
-        tiles_ops.INVALID_KEY,
-    ).reshape(-1)
     gauss = g0 + jax.lax.broadcasted_iota(jnp.int32, (shard, K), 0)
     slot_global = (gauss * K
                    + jax.lax.broadcasted_iota(jnp.int32, (shard, K), 1)).reshape(-1)
