@@ -9,11 +9,13 @@ cd /root/repo || exit 1
 date
 python -c "import jax; print(jax.devices())" || exit 1
 
-echo "=== [1/5] stage profile + micro probes ==="
-timeout 2400 python tools/profile_step.py --micro
-
-echo "=== [2/5] headline bench ==="
+echo "=== [1/5] headline bench ==="
 timeout 1800 python bench.py
+date
+
+echo "=== [2/5] stage profile + micro probes ==="
+timeout 2400 python tools/profile_step.py --micro
+date
 
 echo "=== [3/5] D=8 sharded cost model ==="
 timeout 3600 python tools/profile_sharded.py
