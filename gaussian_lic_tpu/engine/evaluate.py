@@ -9,6 +9,7 @@ lpips_path, gaussian.cpp:740-749); when absent the metric is skipped gracefully
 
 from __future__ import annotations
 
+import functools
 import os
 from typing import Dict, Optional
 
@@ -16,9 +17,11 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
+from gaussian_lic_tpu.ops.blend_pallas import CHUNK
+
 from gaussian_lic_tpu.camera import make_camera
 from gaussian_lic_tpu.ops import losses
-from gaussian_lic_tpu.ops.rasterize import render_map
+from gaussian_lic_tpu.ops.rasterize import _splat_budget_for, render_map
 
 
 class LpipsScorer:
@@ -83,21 +86,47 @@ def evaluate_visual_quality(
         print("[eval] LPIPS skipped: no lpips_path configured; reporting "
               "lpips=None (see README, 'LPIPS weights')")
 
-    @jax.jit
-    def _render_train(gm, kf, idx):
+    # Eval renders use the SAME splat budget as training (the reference evals
+    # with identical rasterizer settings, gaussian.cpp:753) — including any
+    # budget the trainer auto-grew mid-run via cfg.splat_budget_factor. A
+    # render whose binning loses entries past the budget would silently
+    # truncate the image and inflate/deflate PSNR, so budget overflow during
+    # eval grows the budget and re-renders the view (one recompile per growth).
+    budget = {"m": _splat_budget_for(gm.capacity, cfg)}
+
+    @functools.partial(jax.jit, static_argnames=("m",))
+    def _render_train(gm, kf, idx, m):
         cam = kf.camera(intr, idx)
         out = render_map(
             gm, cam,
             apply_exposure=cfg.apply_exposure,
             tile_h=cfg.tile_h, tile_w=cfg.tile_w,
             max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
+            max_total_splats=m,
         )
-        return jnp.clip(out.image, 0.0, 1.0)
+        return jnp.clip(out.image, 0.0, 1.0), out.budget_lost, out.truncated
+
+    def _render_clean(render_once):
+        """Render, growing the splat budget until no entries are lost to it."""
+        while True:
+            image, budget_lost, truncated = render_once(budget["m"])
+            if int(budget_lost) == 0:
+                if int(truncated) > 0:
+                    print(f"[eval] WARNING: {int(truncated)} rect tiles "
+                          "truncated at the per-Gaussian slot cap during eval; "
+                          "raise max_tiles_per_gaussian for full fidelity")
+                return np.asarray(image)
+            new_m = int(budget["m"] * 1.5 + CHUNK - 1) // CHUNK * CHUNK
+            # P·K slots exist in total, so the budget can always reach clean
+            new_m = min(new_m, gm.capacity * cfg.max_tiles_per_gaussian)
+            print(f"[eval] splat budget overflow ({int(budget_lost)} entries "
+                  f"lost): budget grows {budget['m']} -> {new_m}, re-rendering")
+            budget["m"] = new_m
 
     def run_split(cameras, names, images, render_fn):
         psnrs, ssims, lpipss = [], [], []
         for i, name in enumerate(names):
-            rendered = np.asarray(render_fn(i))
+            rendered = render_fn(i)
             gt = images[i].astype(np.float32) / 255.0
             gt = np.transpose(gt, (2, 0, 1)) if gt.ndim == 3 and gt.shape[-1] == 3 else gt
             gt = np.clip(gt, 0.0, 1.0)
@@ -125,7 +154,11 @@ def evaluate_visual_quality(
     ]
     tr = run_split(
         None, train_names, train_imgs,
-        lambda i: _render_train(gm, engine.kf_buffer, jnp.asarray(i, jnp.int32)),
+        lambda i: _render_clean(
+            lambda m: _render_train(
+                gm, engine.kf_buffer, jnp.asarray(i, jnp.int32), m=m
+            )
+        ),
     )
     for k, v in tr.items():
         results[f"train_{k}"] = v
@@ -133,21 +166,25 @@ def evaluate_visual_quality(
     # test split: one jitted (gm, R, t) → image with the pose as traced
     # arguments, so hundreds of held-out views render at kernel speed instead
     # of dispatching the projection/packing ops eagerly per camera
-    @jax.jit
-    def _render_pose(gm, R_wc, t_wc):
+    @functools.partial(jax.jit, static_argnames=("m",))
+    def _render_pose(gm, R_wc, t_wc, m):
         cam = make_camera(intr, R_wc, t_wc)
         out = render_map(
             gm, cam,
             apply_exposure=cfg.apply_exposure,
             tile_h=cfg.tile_h, tile_w=cfg.tile_w,
             max_tiles_per_gaussian=cfg.max_tiles_per_gaussian,
+            max_total_splats=m,
         )
-        return jnp.clip(out.image, 0.0, 1.0)
+        return jnp.clip(out.image, 0.0, 1.0), out.budget_lost, out.truncated
 
     def render_test(i):
         tc = engine.test_cameras[i]
-        return _render_pose(
-            gm, jnp.asarray(tc.R_wc, jnp.float32), jnp.asarray(tc.t_wc, jnp.float32)
+        return _render_clean(
+            lambda m: _render_pose(
+                gm, jnp.asarray(tc.R_wc, jnp.float32),
+                jnp.asarray(tc.t_wc, jnp.float32), m=m,
+            )
         )
 
     te = run_split(

@@ -14,9 +14,13 @@ Memory layout (Mosaic constraints, measured on v5e):
     [⌊start/CHUNK⌋·CHUNK, …) overlapping its range and masks entries outside
     [start, start+len). Chunks shared between adjacent tiles are processed by
     both, masked disjointly.
-  * Per-splat attributes are read via one (SUB, 16) vector load per SUB splats
-    + static-index scalar extracts — dynamic per-splat scalar VMEM loads made
-    the scalar unit the bottleneck (3.8× slower forward).
+  * Per-splat attributes are DMA'd into SMEM and read as scalar loads that run
+    on the scalar core concurrently with the VPU. Measured alternatives
+    (PERF.md round-3 kernel hunt): vector-register lane extracts from a VMEM
+    copy burn ~1.8 VPU cycles per value — the 9 extracts per splat were the
+    forward kernel's single largest cost (38.4 → 25.6 ms moving them to SMEM,
+    bit-identical); dynamic per-splat scalar VMEM loads were worse still
+    (3.8× slower forward).
 
 Forward parity targets: α = min(0.99, opa·exp(power)); skip α < 1/255 or
 power > 0; prospective termination T·(1−α) < 1e-4 marks the pixel done
@@ -112,20 +116,18 @@ def unswizzle_tiles(tiles: jnp.ndarray, n_tx: int, n_ty: int, tile_h: int, tile_
     return x.reshape(*lead, n_ty * tile_h, n_tx * tile_w)
 
 
-def _splat_attrs(row, s: int, no_color: bool):
-    """Per-splat attributes from a (1, SUB·16) group row held in vector
-    registers — static-index scalar extracts (auto-broadcast in VPU arithmetic)
-    instead of nine dynamic scalar VMEM loads per splat (the scalar unit was
-    the bottleneck). Splat s of the group lives at lanes [s·16, s·16+16)."""
-
-    def b(c):
-        return row[0, s * SPLAT_ROWS + c]
-
+def _splat_attrs(load, no_color: bool):
+    """Per-splat attributes via the caller's scalar SMEM `load(field)` —
+    splat s of a packed group row lives at lanes [s·16, s·16+16). Scalar SMEM
+    loads run on the scalar core concurrently with the VPU and broadcast for
+    free into vector arithmetic; vector-register lane extracts from a VMEM
+    copy of the same rows cost ~1.8 VPU cycles per value and were the forward
+    kernel's largest single cost (PERF.md round-3 kernel hunt)."""
     if no_color:
-        return (b(ROW_X), b(ROW_Y), b(ROW_A), b(ROW_B), b(ROW_C), b(ROW_OPA),
-                None, None, None)
-    return (b(ROW_X), b(ROW_Y), b(ROW_A), b(ROW_B), b(ROW_C), b(ROW_OPA),
-            b(ROW_R), b(ROW_G), b(ROW_B2))
+        return (load(ROW_X), load(ROW_Y), load(ROW_A), load(ROW_B),
+                load(ROW_C), load(ROW_OPA), None, None, None)
+    return (load(ROW_X), load(ROW_Y), load(ROW_A), load(ROW_B), load(ROW_C),
+            load(ROW_OPA), load(ROW_R), load(ROW_G), load(ROW_B2))
 
 
 # ---------------------------------------------------------------------------
@@ -191,25 +193,29 @@ def _forward_kernel(
 
         def group_step(g_idx, c):
             T, Cr, Cg, Cb, done, last = c
-            # one (1, SUB*16) packed group row per SUB splats, no transposes
-            block = dbuf[pl.ds(slot, 1), pl.ds(g_idx, 1), :][0]
             for s in range(SUB):
-                x, y, A, B, Cc, opa, r, g, b = _splat_attrs(block, s, no_color)
+                x, y, A, B, Cc, opa, r, g, b = _splat_attrs(
+                    lambda f: dbuf[slot, g_idx, s * SPLAT_ROWS + f], no_color
+                )
                 j = g_idx * SUB + s
                 # fold the (scalar) chunk-window test into the opacity operand:
                 # out-of-window → α = 0 → fails the α ≥ 1/255 test identically,
                 # one vector AND cheaper per splat
                 opa = jnp.where((j >= lo) & (j < hi), opa, 0.0)
+                # conic halves negated on the scalar unit → the quadratic form
+                # is 2 fewer vector ops in fma form
+                nA = -0.5 * A
+                nC = -0.5 * Cc
                 dx = x - px
                 dy = y - py
-                power = -0.5 * (A * dx * dx + Cc * dy * dy) - B * dx * dy
+                power = (nA * dx - B * dy) * dx + (nC * dy) * dy
                 alpha = jnp.minimum(ALPHA_CAP, opa * jnp.exp(power))
                 contrib = (alpha >= OPACITY_THRESHOLD) & (power <= 0.0)
                 test_T = T * (1.0 - alpha)
                 would_term = contrib & (test_T < T_EPS)
                 applied = contrib & (done < 0.5) & jnp.logical_not(would_term)
                 done = jnp.maximum(done, would_term.astype(jnp.float32))
-                w = jnp.where(applied, alpha * T, 0.0)
+                w = jnp.where(applied, alpha, 0.0) * T
                 if not no_color:
                     Cr = Cr + w * r
                     Cg = Cg + w * g
@@ -278,7 +284,9 @@ def blend_forward(
             pl.BlockSpec((1, VREG_H, VREG_W), lambda t, *_: (t, 0, 0)),
         ],
         scratch_shapes=[
-            pltpu.VMEM((2, CHUNK // SUB, SUB * SPLAT_ROWS), jnp.float32),
+            # splat rows land in SMEM: every per-splat read is a scalar load
+            # on the scalar core (see _splat_attrs)
+            pltpu.SMEM((2, CHUNK // SUB, SUB * SPLAT_ROWS), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
         ],
     )
@@ -329,7 +337,7 @@ def _backward_kernel(
     ncontrib = ncontrib_ref[0, :, :]
 
     T_init = final_t_ref[0, :, :]
-    S0r = jnp.zeros((VREG_H, VREG_W), jnp.float32)
+    Sdl0 = jnp.zeros((VREG_H, VREG_W), jnp.float32)
 
     # Entries past the tile's deepest contributor have zero gradients: bound the
     # reverse walk at max(n_contrib) (final_T is already the transmittance
@@ -339,7 +347,13 @@ def _backward_kernel(
     n_chunks_eff = pl.cdiv(start + jnp.minimum(nmax, length), CHUNK) - c0
 
     def chunk_body(r, carry):
-        T_run, Sr, Sg, Sb = carry
+        # Sdl = Σ_applied-later wsel·(r·dlr + g·dlg + b·dlb): the suffix colors
+        # (Sr, Sg, Sb of backward.cu:519-530) only ever enter dL/dα through
+        # their dot product with the pixel cotangent, so ONE running field
+        # replaces three and dα drops from ~14 vector ops to 6 per splat.
+        # The per-color suffix sums wsel·dl_c for d_r/g/b are reduced
+        # separately below (q_parts 6..8).
+        T_run, Sdl = carry
         ci = n_chunks_eff - 1 - r
         chunk_start = pl.multiple_of((c0 + ci) * CHUNK, CHUNK)
         copy = pltpu.make_async_copy(
@@ -356,21 +370,24 @@ def _backward_kernel(
         hi = start + length - chunk_start
 
         def group_step(gr, c):
-            T_run, Sr, Sg, Sb = c
+            T_run, Sdl = c
             g_idx = (CHUNK // SUB) - 1 - gr
-            block = dbuf[pl.ds(g_idx, 1), :]  # (1, SUB*16) packed group row
             # deferred reductions: per splat only sublane-reduce (8,128)→(1,128);
             # the lane reduction is shared per group (9 trees instead of 72)
             q_parts = [[None] * SUB for _ in range(9)]
             for sr in range(SUB):
                 s = SUB - 1 - sr  # back-to-front within the group
-                x, y, A, B, Cc, opa, rr, gg, bb = _splat_attrs(block, s, False)
+                x, y, A, B, Cc, opa, rr, gg, bb = _splat_attrs(
+                    lambda f: dbuf[g_idx, s * SPLAT_ROWS + f], False
+                )
                 j = g_idx * SUB + s
                 # scalar window test folded into opacity (see forward kernel)
                 opa = jnp.where((j >= lo) & (j < hi), opa, 0.0)
+                nA = -0.5 * A
+                nC = -0.5 * Cc
                 dx = x - px
                 dy = y - py
-                power = -0.5 * (A * dx * dx + Cc * dy * dy) - B * dx * dy
+                power = (nA * dx - B * dy) * dx + (nC * dy) * dy
                 G = jnp.exp(power)
                 alpha = jnp.minimum(ALPHA_CAP, opa * G)
                 pos = chunk_start + j - start + 1
@@ -386,12 +403,12 @@ def _backward_kernel(
                 # reconstruct T before this splat (Inria backward walk)
                 T_run = jnp.where(applied, T_run * inv_om, T_run)
                 w = alpha * T_run
-                # per-pixel dL/dalpha = Σc (c·T − S_c/(1−α))·dL_dpix_c
-                dalpha = (
-                    (rr * T_run - Sr * inv_om) * dlr
-                    + (gg * T_run - Sg * inv_om) * dlg
-                    + (bb * T_run - Sb * inv_om) * dlb
-                )
+                # per-pixel dL/dα = Σc (c·T − S_c/(1−α))·dL_dpix_c
+                #                 = T·(c·dl) − (Σ_c S_c·dl_c)/(1−α)
+                # with s1 = r·dlr + g·dlg + b·dlb (splat color is scalar) and
+                # Sdl the running suffix dot product — 3 fma + mul + fnma
+                s1 = rr * dlr + gg * dlg + bb * dlb
+                dalpha = T_run * s1 - Sdl * inv_om
                 dalpha = jnp.where(applied, dalpha, 0.0)
                 wsel = jnp.where(applied, w, 0.0)
                 # dα→(opacity, position, conic); α-cap not masked (ref parity).
@@ -424,10 +441,8 @@ def _backward_kernel(
                 )
                 for qi in range(9):
                     q_parts[qi][s] = quantities[qi]
-                # update suffix color
-                Sr = Sr + wsel * rr
-                Sg = Sg + wsel * gg
-                Sb = Sb + wsel * bb
+                # update the suffix color·cotangent dot product
+                Sdl = Sdl + wsel * s1
             cols = []
             for qi in range(9):
                 m = jnp.concatenate(q_parts[qi], axis=0)       # (SUB, 128)
@@ -436,9 +451,9 @@ def _backward_kernel(
                 cols + [jnp.zeros((SUB, SPLAT_ROWS - 9), jnp.float32)], axis=1
             )  # (SUB, SPLAT_ROWS): row s = splat s's gradient record
             gbuf[pl.ds(g_idx * SUB, SUB), :] = block_g
-            return (T_run, Sr, Sg, Sb)
+            return (T_run, Sdl)
 
-        carry = jax.lax.fori_loop(0, CHUNK // SUB, group_step, (T_run, Sr, Sg, Sb))
+        carry = jax.lax.fori_loop(0, CHUNK // SUB, group_step, (T_run, Sdl))
 
         # accumulate into the shared gradient buffer (sequential grid ⇒ the
         # read of a boundary chunk sees the neighbor tile's finished writes)
@@ -451,7 +466,7 @@ def _backward_kernel(
         out_copy.wait()
         return carry
 
-    jax.lax.fori_loop(0, n_chunks_eff, chunk_body, (T_init, S0r, S0r, S0r))
+    jax.lax.fori_loop(0, n_chunks_eff, chunk_body, (T_init, Sdl0))
 
 
 @functools.partial(
@@ -491,7 +506,8 @@ def blend_backward(
         ],
         out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         scratch_shapes=[
-            pltpu.VMEM((CHUNK // SUB, SUB * SPLAT_ROWS), jnp.float32),
+            # splat rows in SMEM: scalar-core attr loads (see _splat_attrs)
+            pltpu.SMEM((CHUNK // SUB, SUB * SPLAT_ROWS), jnp.float32),
             pltpu.VMEM((CHUNK, SPLAT_ROWS), jnp.float32),
             pltpu.VMEM((SPLAT_ROWS, CHUNK), jnp.float32),
             pltpu.VMEM((SPLAT_ROWS, CHUNK), jnp.float32),

@@ -42,27 +42,29 @@ def _gaussian_window(window_size: int = _WINDOW_SIZE, sigma: float = _SIGMA) -> 
     return (g / g.sum()).astype(np.float32)
 
 
-def _blur(img: jnp.ndarray, window: jnp.ndarray) -> jnp.ndarray:
-    """Separable depthwise 11×11 Gaussian blur, SAME padding. img: (C, H, W).
+def _blur(img: jnp.ndarray, window=None) -> jnp.ndarray:
+    """Separable depthwise 11×11 Gaussian blur, SAME (zero) padding. img: (C, H, W).
 
-    precision=HIGHEST is load-bearing: on TPU the conv otherwise runs on the
-    MXU in bf16, and the σ² = blur(x²) − μ² cancellation then goes negative on
-    smooth regions — SSIM leaves [−1, 1] and the training loss silently breaks
-    (caught by tools/validate_scale.py reporting SSIM ≈ 1.9)."""
-    C = img.shape[0]
-    x = img[None]  # (1, C, H, W)
-    kh = jnp.tile(window.reshape(1, 1, _WINDOW_SIZE, 1), (C, 1, 1, 1))
-    kw = jnp.tile(window.reshape(1, 1, 1, _WINDOW_SIZE), (C, 1, 1, 1))
-    dn = jax.lax.conv_dimension_numbers(x.shape, kh.shape, ("NCHW", "OIHW", "NCHW"))
-    x = jax.lax.conv_general_dilated(
-        x, kh, (1, 1), "SAME", dimension_numbers=dn, feature_group_count=C,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    x = jax.lax.conv_general_dilated(
-        x, kw, (1, 1), "SAME", dimension_numbers=dn, feature_group_count=C,
-        precision=jax.lax.Precision.HIGHEST,
-    )
-    return x[0]
+    Implemented as 2×11 statically-shifted fused multiply-adds instead of
+    lax.conv: dense VPU passes are essentially free on TPU (PERF.md cost
+    model) while the tiny-channel depthwise conv lowering was ~2× slower even
+    at HIGHEST precision — and, crucially, this keeps every tap in f32. (The
+    conv default ran on the MXU in bf16 and the σ² = blur(x²) − μ²
+    cancellation went negative on smooth regions; SSIM left [−1, 1] and the
+    training loss silently broke — caught by tools/validate_scale.py
+    reporting SSIM ≈ 1.9.)"""
+    taps = [float(v) for v in _gaussian_window()]
+    C, H, W = img.shape
+    r = _WINDOW_SIZE // 2
+    xp = jnp.pad(img, ((0, 0), (r, r), (0, 0)))
+    out = taps[0] * xp[:, 0:H, :]
+    for k in range(1, _WINDOW_SIZE):
+        out = out + taps[k] * xp[:, k:k + H, :]
+    xp = jnp.pad(out, ((0, 0), (0, 0), (r, r)))
+    out = taps[0] * xp[:, :, 0:W]
+    for k in range(1, _WINDOW_SIZE):
+        out = out + taps[k] * xp[:, :, k:k + W]
+    return out
 
 
 def ssim_map(img1: jnp.ndarray, img2: jnp.ndarray) -> jnp.ndarray:

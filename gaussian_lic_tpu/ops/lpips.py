@@ -158,7 +158,20 @@ def _from_named_tensors(named) -> Dict[str, np.ndarray]:
 
 def load_lpips_params(path: str) -> Dict[str, jnp.ndarray]:
     """Load LPIPS-alex params from an .npz, a torch checkpoint (.pth state_dict),
-    or a torchscript module (.pt) — e.g. the reference's lpips_alex.pt artifact."""
+    or a torchscript module (.pt) — e.g. the reference's lpips_alex.pt artifact.
+
+    The sentinel path "randinit" (or "randinit:<seed>") builds a deterministic
+    He-initialized instance in-process instead of reading a file — see
+    randinit_lpips_params for what that metric is and is not."""
+    if path == "randinit" or path.startswith("randinit:"):
+        seed = int(path.split(":", 1)[1]) if ":" in path else 0
+        print(
+            "[lpips] using the RANDOM-INIT AlexNet-LPIPS metric "
+            f"(seed {seed}): self-consistent perceptual distance, NOT "
+            "comparable to published LPIPS numbers — supply a trained "
+            "lpips_alex artifact for those (tools/export_lpips.py)"
+        )
+        return randinit_lpips_params(seed)
     if os.path.isdir(path):
         for cand in ("lpips_alex.npz", "lpips_alex.pt", "lpips_alex.pth"):
             p = os.path.join(path, cand)
@@ -198,4 +211,32 @@ def random_lpips_params(seed: int = 0) -> Dict[str, jnp.ndarray]:
         params[f"conv{i}_b"] = rng.normal(0, 0.01, (o,)).astype(np.float32)
     for i, c in enumerate(N_CHANNELS):
         params[f"lin{i}_w"] = np.abs(rng.normal(0, 0.01, (1, c, 1, 1))).astype(np.float32)
+    return {k: jnp.asarray(v) for k, v in params.items()}
+
+
+def randinit_lpips_params(seed: int = 0) -> Dict[str, jnp.ndarray]:
+    """Deterministic randomly-initialized AlexNet-LPIPS (He-init convs, uniform
+    1/C lin heads).
+
+    Trained AlexNet weights are not obtainable in this offline environment
+    (no torchvision, no cached checkpoints, zero egress), so this is the
+    shippable fallback that keeps the full LPIPS pipeline (feature taps →
+    channel-norm → squared diff → lin heads → spatial mean) end-to-end
+    exercisable and produces a real float. Randomly-initialized CNN features
+    are a known serviceable perceptual distance (Amir & Weiss, "Understanding
+    and Simplifying Perceptual Distances", CVPR 2021): the metric is
+    self-consistent and monotone in perceptual corruption, but its absolute
+    values are NOT comparable to published LPIPS-alex numbers. When a trained
+    artifact is available, convert it with tools/export_lpips.py and pass its
+    path instead — every other code path is identical."""
+    rng = np.random.default_rng(np.random.SeedSequence([0x1B1B5, seed]))
+    params: Dict[str, np.ndarray] = {}
+    for i, (o, ic, k, _s, _p) in enumerate(_CONV_DEFS):
+        std = float(np.sqrt(2.0 / (ic * k * k)))  # He init for ReLU stacks
+        params[f"conv{i}_w"] = rng.normal(0, std, (o, ic, k, k)).astype(np.float32)
+        params[f"conv{i}_b"] = np.zeros((o,), np.float32)
+    for i, c in enumerate(N_CHANNELS):
+        # uniform non-negative heads: each tap contributes its mean squared
+        # channel-normalized feature difference with weight 1/C
+        params[f"lin{i}_w"] = np.full((1, c, 1, 1), 1.0 / c, np.float32)
     return {k: jnp.asarray(v) for k, v in params.items()}

@@ -94,8 +94,10 @@ class TileGrid(NamedTuple):
 
 class Binning(NamedTuple):
     sorted_gauss: jnp.ndarray   # (M_pad,) int32 — Gaussian id per entry (P = dead)
-    tile_starts: jnp.ndarray    # (T,) int32 — `align`-aligned offset of each tile
-    tile_lens: jnp.ndarray      # (T,) int32 — live entries per tile (≤ padded span)
+    tile_starts: jnp.ndarray    # (T,) int32 — entry offset of each tile's range
+                                #   (UNALIGNED: the blend kernels walk whole
+                                #   `align`-sized chunks and mask the overhang)
+    tile_lens: jnp.ndarray      # (T,) int32 — live entries per tile
     cnt: jnp.ndarray            # (P,) int32 — entries per Gaussian that survived
                                 #   the budget cut (run lengths in sorted_gauss)
     num_valid: jnp.ndarray      # () int32 — live entries (pre-budget-truncation)
@@ -193,13 +195,18 @@ def compute_slot_keys_kmajor(
     K-MAJOR: every per-slot array is (K, P) with the Gaussian axis minor, so
     the heavy per-slot math runs on full 128-lane vregs — a (P, K=8) layout
     puts the 8-wide slot axis on the lanes and wastes 15/16 of each vreg.
-    One transpose relayouts the packed keys back to slot-id (p-major) order,
-    which the stable binning sort's payload-order tie argument requires.
+    The keys stay in K-major order (slot id = k·P + p): relayouting them back
+    to p-major cost a measured 20.7 ms at 1M Gaussians (the (K,P)→(P·K)
+    transpose was the single most expensive piece of binning), and the only
+    thing the order buys is the tie-break rule under equal truncated-depth
+    keys — k-major insertion order is just as deterministic, and the sharded
+    binning path reproduces it exactly (slot id as an explicit second merge
+    key), so single-chip and multi-chip renders still agree bit-for-bit.
 
     With band_n_ty set, keys use BAND-LOCAL tile ids and out-of-band slots are
     dead (bin_gaussians semantics); otherwise GLOBAL tile ids
     (bin_gaussians_sharded semantics). Returns
-    (keys (P·K,) p-major uint32, tiles_touched (P,) int32 live slots,
+    (keys (K·P,) k-major uint32, tiles_touched (P,) int32 live slots,
     truncated () int32 rect tiles lost to the K-slot cap [band-aware]).
     """
     P = xy.shape[0]
@@ -259,7 +266,7 @@ def compute_slot_keys_kmajor(
         (tile_id << depth_bits) | dkey[None, :],
         INVALID_KEY,
     )
-    keys = keys_kp.T.reshape(-1)   # (P·K,) p-major — the ONE relayout
+    keys = keys_kp.reshape(-1)   # (K·P,) k-major — no relayout
     return keys, tiles_touched, truncated
 
 
@@ -305,11 +312,11 @@ def bin_gaussians(
     dkey = depth_key(depth, depth_bits)
 
     # K-major slot enumeration + exact culling + key packing (full-lane
-    # layout; see compute_slot_keys_kmajor), transposed back to slot-id order.
-    # Truncated-depth keys can collide, but `lax.sort` is stable and the input
-    # is in slot-id order, so carrying slot_ids as a PAYLOAD (not a second
-    # key) yields the same deterministic (tile, depth, insertion-order) total
-    # order while each merge pass compares one fewer column.
+    # layout; see compute_slot_keys_kmajor). The keys stay in k-major slot
+    # order (slot id = k·P + p): `lax.sort` is stable, so carrying slot_ids as
+    # a PAYLOAD (not a second key) gives the deterministic
+    # (tile, depth, k-major slot) total order with no relayout and one fewer
+    # compared column per merge pass.
     keys, tiles_touched, truncated = compute_slot_keys_kmajor(
         xy, dkey, conic, opacity, radius, live, grid, K, depth_bits,
         band_ty0=band_ty0, band_n_ty=n_ty_local,
@@ -328,16 +335,24 @@ def bin_gaussians(
     # needed by the blend backward's segmented reduction. The effective sort
     # key (key, slot_id) is unique, so "slot's sorted position < m_eff" ⟺
     # "(key, slot) < the m_eff-th smallest (key, slot)" — a dense lexicographic
-    # compare instead of a second P·K inverse-permutation sort. ---
+    # compare instead of a second P·K inverse-permutation sort. In the common
+    # case (no budget overflow) every live slot survives and cnt is just
+    # tiles_touched — lax.cond skips the ~6 ms P·K compare at run time. ---
     if m_eff < P * K:
-        bk_key = sorted_keys[m_eff]
-        bk_slot = sorted_slots[m_eff]
-        k2 = keys.reshape(P, K)
-        s2 = slot_ids.reshape(P, K)
-        survive = (k2 != INVALID_KEY) & (
-            (k2 < bk_key) | ((k2 == bk_key) & (s2 < bk_slot))
+
+        def _cnt_overflowed(_):
+            bk_key = sorted_keys[m_eff]
+            bk_slot = sorted_slots[m_eff]
+            k2 = keys.reshape(K, P)
+            s2 = slot_ids.reshape(K, P)
+            survive = (k2 != INVALID_KEY) & (
+                (k2 < bk_key) | ((k2 == bk_key) & (s2 < bk_slot))
+            )
+            return jnp.sum(survive, axis=0).astype(jnp.int32)
+
+        cnt = jax.lax.cond(
+            budget_lost > 0, _cnt_overflowed, lambda _: tiles_touched, None
         )
-        cnt = jnp.sum(survive, axis=1).astype(jnp.int32)
     else:
         cnt = tiles_touched
 
@@ -353,9 +368,10 @@ def bin_gaussians(
     tile_lens = edges[1:] - edges[:-1]
 
     # dead entries (INVALID keys past num_valid, plus the M_pad round-up tail)
-    # carry sentinel id P → zero splat rows → in-kernel no-ops
+    # carry sentinel id P → zero splat rows → in-kernel no-ops.
+    # Slot ids are k-major: gaussian = slot mod P.
     gauss_raw = jnp.where(
-        sorted_keys != INVALID_KEY, (sorted_slots // K).astype(jnp.int32), P
+        sorted_keys != INVALID_KEY, (sorted_slots % P).astype(jnp.int32), P
     )
     sorted_gauss = jnp.concatenate(
         [gauss_raw, jnp.full((M_pad - m_eff,), P, jnp.int32)]

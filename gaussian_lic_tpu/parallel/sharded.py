@@ -148,19 +148,22 @@ def bin_gaussians_sharded(
     dkey_s = tiles_ops.depth_key(depth_s, depth_bits)
 
     # K-major slot enumeration + exact culling + GLOBAL-tile key packing
-    # (full-lane layout, transposed back to slot order — tiles.py). truncated
-    # counts this shard's rect tiles lost to the K-slot cap.
+    # (full-lane (K, shard) layout, kept in k-major order — tiles.py).
+    # truncated counts this shard's rect tiles lost to the K-slot cap.
     packed, _tt, truncated = tiles_ops.compute_slot_keys_kmajor(
         xy_s, dkey_s, conic_s, opa_s, rad_s, live_s, grid, K, depth_bits,
     )
-    gauss = g0 + jax.lax.broadcasted_iota(jnp.int32, (shard, K), 0)
-    slot_global = (gauss * K
-                   + jax.lax.broadcasted_iota(jnp.int32, (shard, K), 1)).reshape(-1)
+    # Global k-major slot ids (slot = k·P + p): monotone in (k, gaussian), so
+    # ordering ties by slot id reproduces bin_gaussians' k-major tie rule.
+    slot_global = (
+        jax.lax.broadcasted_iota(jnp.int32, (K, shard), 0) * P
+        + g0 + jax.lax.broadcasted_iota(jnp.int32, (K, shard), 1)
+    ).reshape(-1)
 
     # one local sort groups by (band, tile, depth) at once — the global tile id
     # makes the band the key's high bits. Truncated-depth keys may collide, but
-    # the stable sort over the slot-ordered input keeps slot_global a PAYLOAD
-    # while preserving the deterministic cross-device total order.
+    # the stable sort over the k-major-slot-ordered input keeps slot_global a
+    # PAYLOAD while matching the shard-restricted global k-major tie order.
     pk, sk = jax.lax.sort((packed, slot_global), num_keys=1)
 
     # fixed-size per-band buckets (gather formulation; the q-side is tiny).
@@ -188,16 +191,17 @@ def bin_gaussians_sharded(
         send_slots.reshape(n_dev, m_pair), axis_name, split_axis=0, concat_axis=0
     ).reshape(-1)
 
-    # merge the D sorted streams for MY band. Ties under the truncated depth
-    # key resolve to slot order even with slot id as a payload: the stable
-    # sort preserves concat order, which is (source device, local position) —
-    # device d owns slot range [d·shard·K, (d+1)·shard·K) and each stream is
-    # already slot-ordered within equal keys, so this IS global slot order.
-    fk, fs = jax.lax.sort((recv_keys, recv_slots), num_keys=1)
+    # merge the D sorted streams for MY band. With k-major slot ids a device's
+    # slots are NOT a contiguous global range, so concat order (source device
+    # major) is not the global tie order — the slot id rides as an explicit
+    # SECOND KEY here, which reproduces bin_gaussians' k-major tie rule
+    # exactly (the merge list is D·m_pair ≪ P·K, so the extra key column is
+    # cheap where it matters).
+    fk, fs = jax.lax.sort((recv_keys, recv_slots), num_keys=2)
     m_eff = n_dev * m_pair
     M_pad = ((m_eff + align - 1) // align) * align
     present = fk != tiles_ops.INVALID_KEY
-    gauss_raw = jnp.where(present, fs // K, P).astype(jnp.int32)
+    gauss_raw = jnp.where(present, fs % P, P).astype(jnp.int32)
     sorted_gauss = jnp.concatenate(
         [gauss_raw, jnp.full((M_pad - m_eff,), P, jnp.int32)]
     )
@@ -211,14 +215,29 @@ def bin_gaussians_sharded(
     tile_starts = e2[:-1]
     tile_lens = e2[1:] - e2[:-1]
 
-    # per-Gaussian entry counts for the backward's carry-sort reduction:
-    # mark slots present in MY band's list (one small scatter of M/D entries)
-    slot_present = (
-        jnp.zeros((P * K,), jnp.bool_)
-        .at[jnp.where(present, fs, P * K)]
-        .set(True, mode="drop", unique_indices=True)
+    # per-Gaussian entry counts for the backward's carry-sort reduction.
+    # Derived from the merged stream itself — sort the m_eff gaussian ids,
+    # compute run lengths, scatter each run's length at its gaussian — so the
+    # cost scales with the band list (O(M/D)), not with capacity. (Round 2
+    # scattered into a (P·K,) bool array and summed it: ~7.5 ms per device per
+    # step at 1M Gaussians that did NOT shrink with the mesh.)
+    m_eff_ids = jnp.sort(jnp.where(present, fs % P, P))
+    idx = jnp.arange(m_eff_ids.shape[0], dtype=jnp.int32)
+    is_first = jnp.concatenate(
+        [jnp.ones((1,), bool), m_eff_ids[1:] != m_eff_ids[:-1]]
     )
-    cnt = jnp.sum(slot_present.reshape(P, K).astype(jnp.int32), axis=1)
+    is_last = jnp.concatenate(
+        [m_eff_ids[:-1] != m_eff_ids[1:], jnp.ones((1,), bool)]
+    )
+    start_pos = jax.lax.associative_scan(
+        jnp.maximum, jnp.where(is_first, idx, 0)
+    )
+    run_len = idx - start_pos + 1
+    cnt = (
+        jnp.zeros((P,), jnp.int32)
+        .at[jnp.where(is_last & (m_eff_ids < P), m_eff_ids, P)]
+        .set(run_len, mode="drop", unique_indices=True)
+    )
 
     num_valid = jnp.sum(present.astype(jnp.int32))
     # bucket_overflow is this device's SEND-side loss; callers psum over the mesh

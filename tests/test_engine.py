@@ -252,6 +252,39 @@ class TestSplatBudgetAutoGrow:
         assert eng.last_metrics["budget_lost"] == 37.0
         assert eng.cfg.splat_budget_factor > f0
 
+    def test_eval_grows_past_small_budget(self):
+        """Eval must not silently truncate renders when the configured splat
+        budget is too small for the map (the reference evals with the same
+        rasterizer settings as training, gaussian.cpp:753). A lowball budget
+        at eval time has to auto-grow until the render is clean, producing
+        the same metrics as an amply-budgeted eval."""
+        from gaussian_lic_tpu.engine.evaluate import evaluate_visual_quality
+
+        cfg = Params(
+            width=128, height=64, fx=60.0, fy=60.0, cx=64.0, cy=32.0,
+            skybox_points_num=0, initial_capacity=2048, densify_budget=2048,
+            max_train_keyframes=4, max_iters_per_keyframe=2,
+            select_every_k_frame=2, scaling_scale=40.0,
+        )
+        rng = np.random.default_rng(23)
+        world = make_world(rng, n_points=900)
+        frames = make_sequence(world, n_frames=4, points_per_frame=800, rng=rng)
+        eng = MappingEngine(cfg)
+        for f in frames:
+            eng.add_frame(f)
+        # force an eval-time budget well below the live splat count; eval must
+        # grow it internally instead of truncating the images
+        eng.cfg = eng.cfg.replace(splat_budget_factor=0.5)
+        res_small = evaluate_visual_quality(eng, save_images=False)
+        eng.cfg = eng.cfg.replace(splat_budget_factor=16.0)
+        res_big = evaluate_visual_quality(eng, save_images=False)
+        assert res_small["train_psnr"] == pytest.approx(
+            res_big["train_psnr"], abs=1e-4
+        )
+        assert res_small["test_psnr"] == pytest.approx(
+            res_big["test_psnr"], abs=1e-4
+        )
+
     def test_truncation_only_does_not_grow_budget(self):
         """Rect truncation (rects wider than the K-slot limit) cannot be fixed
         by a bigger splat budget: the engine must warn, not grow+recompile."""
