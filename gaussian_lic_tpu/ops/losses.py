@@ -95,3 +95,34 @@ def training_loss(
     return (1.0 - lambda_dssim) * l1_loss(rendered, gt) + lambda_dssim * (
         1.0 - ssim(rendered, gt)
     )
+
+
+HALO = _WINDOW_SIZE // 2  # rows of neighbor context one band needs for SSIM
+
+
+def training_loss_band_part(
+    rendered_ext: jnp.ndarray,  # (C, Hb + 2·HALO, W) band + halo rows
+    gt_ext: jnp.ndarray,        # (C, Hb + 2·HALO, W) matching GT rows
+    n_pixels: int,              # C·H·W of the FULL image
+    lambda_dssim: float = 0.2,
+) -> jnp.ndarray:
+    """Partial training loss for one horizontal band of the image.
+
+    The band image is extended by HALO rows of real neighbor data on each side
+    (zeros at the image borders — exactly `_blur`'s SAME zero padding), so the
+    band rows of `ssim_map` here equal the corresponding rows of the full-image
+    map bit-for-bit. The partial values satisfy
+
+        training_loss(full) = Σ_bands training_loss_band_part(...) + λ·1
+
+    so a sharded caller computes `psum(part) + λ` for the metric while each
+    device's gradient flows only through its own band (plus halo cotangents,
+    returned to neighbors by the halo exchange's AD transpose)."""
+    hb = rendered_ext.shape[1] - 2 * HALO
+    diff_sum = jnp.sum(
+        jnp.abs(rendered_ext[:, HALO:HALO + hb] - gt_ext[:, HALO:HALO + hb])
+    )
+    smap = ssim_map(rendered_ext, gt_ext)[:, HALO:HALO + hb]
+    return (
+        (1.0 - lambda_dssim) * diff_sum - lambda_dssim * jnp.sum(smap)
+    ) / n_pixels

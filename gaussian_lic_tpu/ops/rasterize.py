@@ -288,7 +288,14 @@ def render_tiled(
 
     if apply_exposure and exposure is not None:
         flat = image.reshape(3, -1)
-        image = (exposure[:, :3] @ flat + exposure[:, 3:]).reshape(3, H, W)
+        # precision=HIGHEST: the default bf16 MXU pass visibly quantizes the
+        # exposure-mapped image (same failure class as the SSIM/projection
+        # contractions — PERF.md "Numerics notes")
+        image = (
+            jnp.matmul(exposure[:, :3], flat,
+                       precision=jax.lax.Precision.HIGHEST)
+            + exposure[:, 3:]
+        ).reshape(3, H, W)
 
     return TiledRenderOutput(
         image=image,

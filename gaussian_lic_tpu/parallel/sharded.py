@@ -422,6 +422,10 @@ def make_sharded_train_step(intr: Intrinsics, cfg: Params, mesh: Mesh,
     interpret = mesh_interpret(mesh)
     lrs = LearningRates.from_params(cfg)
     H, W = intr.height, intr.width
+    # Band-local loss needs every band row to be a real image row; with a
+    # padded grid height the last band holds out-of-image rows and the
+    # replicated-loss path is used instead.
+    band_loss = H == grid.padded_height
     K = cfg.max_tiles_per_gaussian
     lr_map = dict(
         xyz=lrs.xyz, dc=lrs.dc, sh_rest=lrs.sh_rest,
@@ -485,15 +489,58 @@ def make_sharded_train_step(intr: Intrinsics, cfg: Params, mesh: Mesh,
             )
             color_l = unswizzle_tiles(color_t, grid.n_tx, band_n_ty,
                                       tile_h, tile_w)
-            img = lax.all_gather(color_l, axis_name, axis=1, tiled=True)
-            image = img[:, :H, :W]
-            if cfg.apply_exposure:
-                exposure = trainable["exposure"]
-                flat = image.reshape(3, -1)
-                image = (exposure[:, :3] @ flat + exposure[:, 3:]).reshape(3, H, W)
-            # 1/D: the D identical image cotangents sum through the two gather
-            # transposes (image bands, rows shards) to D × the true gradient
-            loss_img = losses.training_loss(image, gt, cfg.lambda_dssim) / n_dev
+            if band_loss:
+                # Band-local loss (no image all_gather, no replicated
+                # full-image SSIM — that ~6 ms did not shrink with D): each
+                # device computes its band's L1+SSIM partial sums after a
+                # HALO-row exchange with its neighbors (SSIM's 11-tap window;
+                # ppermute leaves zeros at the image borders — exactly the
+                # blur's zero padding). Halo cotangents return to their owner
+                # band through the ppermute AD transpose.
+                image_b = color_l[:, :, :W]
+                if cfg.apply_exposure:
+                    exposure = trainable["exposure"]
+                    band_h = band_n_ty * tile_h
+                    flat = image_b.reshape(3, -1)
+                    image_b = (
+                        jnp.matmul(exposure[:, :3], flat,
+                                   precision=jax.lax.Precision.HIGHEST)
+                        + exposure[:, 3:]
+                    ).reshape(3, band_h, W)
+                halo = losses.HALO
+                up = lax.ppermute(
+                    image_b[:, -halo:, :], axis_name,
+                    [(d, d + 1) for d in range(n_dev - 1)],
+                )
+                dn = lax.ppermute(
+                    image_b[:, :halo, :], axis_name,
+                    [(d + 1, d) for d in range(n_dev - 1)],
+                )
+                rendered_ext = jnp.concatenate([up, image_b, dn], axis=1)
+                gt_pad = jnp.pad(gt, ((0, 0), (halo, halo), (0, 0)))
+                gt_ext = lax.dynamic_slice_in_dim(
+                    gt_pad, dev * (band_n_ty * tile_h),
+                    band_n_ty * tile_h + 2 * halo, axis=1,
+                )
+                # psum(part) = training_loss(full) − λ; the λ shift is added
+                # back to the reported metric below (constant — no gradient)
+                loss_img = losses.training_loss_band_part(
+                    rendered_ext, gt_ext, 3 * H * W, cfg.lambda_dssim
+                )
+            else:
+                img = lax.all_gather(color_l, axis_name, axis=1, tiled=True)
+                image = img[:, :H, :W]
+                if cfg.apply_exposure:
+                    exposure = trainable["exposure"]
+                    flat = image.reshape(3, -1)
+                    image = (
+                        jnp.matmul(exposure[:, :3], flat,
+                                   precision=jax.lax.Precision.HIGHEST)
+                        + exposure[:, 3:]
+                    ).reshape(3, H, W)
+                # 1/D: the D identical image cotangents sum through the two
+                # gather transposes (bands, row shards) to D × the true grad
+                loss_img = losses.training_loss(image, gt, cfg.lambda_dssim) / n_dev
             loss = loss_img
             if cfg.lambda_erank > 0:
                 from gaussian_lic_tpu.ops.erank import erank_regularizer
@@ -547,7 +594,10 @@ def make_sharded_train_step(intr: Intrinsics, cfg: Params, mesh: Mesh,
         bl = lax.psum(budget_lost, axis_name)
         tr = lax.psum(truncated, axis_name)
         metrics = {
-            "loss": lax.psum(loss_p, axis_name),
+            # band-local parts sum to loss − λ (training_loss_band_part);
+            # restore the constant for the reported metric
+            "loss": lax.psum(loss_p, axis_name)
+            + (cfg.lambda_dssim if band_loss else 0.0),
             "n_visible": lax.psum(
                 jnp.sum(visible_s.astype(jnp.int32)), axis_name
             ),

@@ -85,6 +85,33 @@ class TestLosses:
         assert float(jnp.max(jnp.abs(g))) > 0
 
 
+class TestBandLoss:
+    def test_band_parts_sum_to_full_loss(self, rng):
+        """training_loss_band_part over D halo-extended bands must reconstruct
+        the full-image training loss exactly (the sharded step's band-local
+        loss replaces the replicated full-image SSIM — parallel.sharded)."""
+        C, H, W = 3, 64, 48
+        lam = 0.2
+        img = jnp.asarray(rng.uniform(size=(C, H, W)), jnp.float32)
+        gt = jnp.asarray(rng.uniform(size=(C, H, W)), jnp.float32)
+        full = float(losses.training_loss(img, gt, lam))
+
+        halo = losses.HALO
+        imgp = jnp.pad(img, ((0, 0), (halo, halo), (0, 0)))
+        gtp = jnp.pad(gt, ((0, 0), (halo, halo), (0, 0)))
+        for D in (1, 2, 4):
+            hb = H // D
+            parts = [
+                float(losses.training_loss_band_part(
+                    imgp[:, d * hb:d * hb + hb + 2 * halo],
+                    gtp[:, d * hb:d * hb + hb + 2 * halo],
+                    C * H * W, lam,
+                ))
+                for d in range(D)
+            ]
+            assert abs(sum(parts) + lam - full) < 1e-6, (D, sum(parts) + lam, full)
+
+
 class TestSparseAdam:
     def test_matches_reference_formula(self, rng):
         """Masked lanes update with the no-bias-correction rule (adam.cu:30-34);

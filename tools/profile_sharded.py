@@ -138,40 +138,37 @@ def main():
         return a + jnp.float32(rng.uniform(0, 1e-7))
 
     # ---- distributed-binning constituents at per-device shapes ----
-    # (b) slot enumeration + exact culling on the P/D shard
+    # (b) slot enumeration + exact culling + key packing on the P/D shard
+    # (k-major production path, compute_slot_keys_kmajor — global tile ids)
     sl = lambda a: a[:shard]
-
-    @jax.jit
-    def stage_slots(xy, conic, opacity, radius, live):
-        return tiles_ops.compute_slot_tiles(xy, conic, opacity, radius, live, grid, K)
-
-    rec("slot enum+cull (P/D shard)",
-        timeit(stage_slots,
-               lambda: (sl(fresh(xy)), sl(conic), sl(opacity), sl(radius),
-                        sl(base_active)), args.iters))
-    tx_s, ty_s, sv_s, _ir, _ri = stage_slots(sl(xy), sl(conic), sl(opacity),
-                                             sl(radius), sl(base_active))
-
-    # (c) local sort of the shard's P/D·K slots — GLOBAL tile ids in the key
-    # (the band is the key's high bits; single u32 key + slot payload)
     depth_bits_g = tiles_ops.rank_bits_for(grid.n_ty * grid.n_tx)
     tiles_per_band = band_n_ty * grid.n_tx
 
     @jax.jit
-    def stage_localsort(sv, ty, tx, depth_s):
+    def stage_slots(xy, conic, opacity, radius, live, depth_s):
         dkey = tiles_ops.depth_key(depth_s, depth_bits_g)
-        tile_global = (ty * grid.n_tx + tx).astype(jnp.uint32)
-        packed = jnp.where(sv, (tile_global << depth_bits_g) | dkey[:, None],
-                           tiles_ops.INVALID_KEY).reshape(-1)
-        slot_global = jax.lax.broadcasted_iota(
-            jnp.int32, (shard * K,), 0)
+        return tiles_ops.compute_slot_keys_kmajor(
+            xy, dkey, conic, opacity, radius, live, grid, K, depth_bits_g)
+
+    rec("slot enum+cull+pack (P/D shard)",
+        timeit(stage_slots,
+               lambda: (sl(fresh(xy)), sl(conic), sl(opacity), sl(radius),
+                        sl(base_active), sl(depth)), args.iters))
+    packed_s, _tt_s, _tr_s = stage_slots(sl(xy), sl(conic), sl(opacity),
+                                         sl(radius), sl(base_active), sl(depth))
+
+    # (c) local sort of the shard's P/D·K packed keys (slot-id payload)
+    @jax.jit
+    def stage_localsort(packed):
+        slot_global = (
+            jax.lax.broadcasted_iota(jnp.int32, (K, shard), 0) * P
+            + jax.lax.broadcasted_iota(jnp.int32, (K, shard), 1)
+        ).reshape(-1)
         return jax.lax.sort((packed, slot_global), num_keys=1)
 
     rec("local sort P/D*K (1key+payload)",
-        timeit(stage_localsort,
-               lambda: (sv_s, ty_s, tx_s, fresh(depth[:shard])),
-               args.iters))
-    pk, sk = stage_localsort(sv_s, ty_s, tx_s, depth[:shard])
+        timeit(stage_localsort, lambda: (packed_s,), args.iters))
+    pk, sk = stage_localsort(packed_s)
 
     # (d) bucket build (band-boundary-key edges + fixed-size gather)
     band_bounds = (
@@ -205,18 +202,24 @@ def main():
         timeit(stage_merge, lambda: (send_keys, send_slots), args.iters))
     fk, fs = stage_merge(send_keys, send_slots)
 
-    # (f) cnt scatter (P·K bool) + reshape-sum
+    # (f) cnt via merged-stream run lengths (the r3 production scheme — the
+    # round-2 (P·K,) bool scatter that did NOT shrink with the mesh is gone)
     @jax.jit
     def stage_cnt(fs, fk):
         present = fk != tiles_ops.INVALID_KEY
-        slot_present = (
-            jnp.zeros((P * K,), jnp.bool_)
-            .at[jnp.where(present, fs, P * K)]
-            .set(True, mode="drop", unique_indices=True)
-        )
-        return jnp.sum(slot_present.reshape(P, K).astype(jnp.int32), axis=1)
+        ids = jnp.sort(jnp.where(present, fs % P, P))
+        ridx = jnp.arange(ids.shape[0], dtype=jnp.int32)
+        is_first = jnp.concatenate([jnp.ones((1,), bool), ids[1:] != ids[:-1]])
+        is_last = jnp.concatenate([ids[:-1] != ids[1:], jnp.ones((1,), bool)])
+        start_pos = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(is_first, ridx, 0))
+        run_len = ridx - start_pos + 1
+        return (
+            jnp.zeros((P,), jnp.int32)
+            .at[jnp.where(is_last & (ids < P), ids, P)]
+            .set(run_len, mode="drop", unique_indices=True))
 
-    rec("cnt scatter+sum (P*K)", timeit(stage_cnt, lambda: (fs, fk), args.iters))
+    rec("cnt run-lengths (D*m_pair)", timeit(stage_cnt, lambda: (fs, fk), args.iters))
 
     # ---- band-local render pieces (band binning via the single-chip path) ----
     @jax.jit
@@ -380,15 +383,17 @@ def main():
         rows_band = rows_full.at[:, ROW_Y].add(0.0)
         sg = jax.lax.stop_gradient
 
-        # --- distributed binning, collectives stubbed ---
-        tx2, ty2, sv2, _ir2, _ri2 = tiles_ops.compute_slot_tiles(
-            sg(proj.xy), sg(proj.conic), sg(opa), sg(radius_), base_active,
-            grid, K)
+        # --- distributed binning, collectives stubbed (mirrors the r3/r4
+        # production bin_gaussians_sharded: k-major enum, payload-carry local
+        # sort, merged-stream cnt — no (P·K,) scatter) ---
         dkey = tiles_ops.depth_key(sg(proj.depth), depth_bits_g)
-        tile_global2 = (ty2 * grid.n_tx + tx2).astype(jnp.uint32)
-        packed = jnp.where(sv2, (tile_global2 << depth_bits_g) | dkey[:, None],
-                           tiles_ops.INVALID_KEY).reshape(-1)
-        slot_global = jax.lax.broadcasted_iota(jnp.int32, (shard * K,), 0)
+        packed, _tt2, _tr2 = tiles_ops.compute_slot_keys_kmajor(
+            sg(proj.xy), dkey, sg(proj.conic), sg(opa), sg(radius_),
+            base_active, grid, K, depth_bits_g)
+        slot_global = (
+            jax.lax.broadcasted_iota(jnp.int32, (K, shard), 0) * P
+            + jax.lax.broadcasted_iota(jnp.int32, (K, shard), 1)
+        ).reshape(-1)
         pk2, sk2 = jax.lax.sort((packed, slot_global), num_keys=1)
         edges = jnp.searchsorted(pk2, band_bounds,
                                  side="left").astype(jnp.int32)
@@ -401,22 +406,31 @@ def main():
         send_keys = jnp.where(valid_q, pk2[src], tiles_ops.INVALID_KEY)
         send_slots = jnp.where(valid_q, sk2[src], -1)
         recv_keys, recv_slots = send_keys, send_slots   # all_to_all stub
-        fk2, fs2 = jax.lax.sort((recv_keys, recv_slots), num_keys=1)
+        fk2, fs2 = jax.lax.sort((recv_keys, recv_slots), num_keys=2)
         m_eff2 = D * m_pair
         M_pad2 = -(-m_eff2 // CHUNK) * CHUNK
         present = fk2 != tiles_ops.INVALID_KEY
-        gauss_raw = jnp.where(present, fs2 // K, P).astype(jnp.int32)
+        gauss_raw = jnp.where(present, fs2 % P, P).astype(jnp.int32)
         sorted_gauss = jnp.concatenate(
             [gauss_raw, jnp.full((M_pad2 - m_eff2,), P, jnp.int32)])
         sorted_tiles = (fk2 >> depth_bits_g).astype(jnp.int32)
         bounds = jnp.arange(num_tiles_local + 1, dtype=jnp.int32)  # band 0
         e2 = jnp.searchsorted(sorted_tiles, bounds, side="left").astype(jnp.int32)
         tile_starts, tile_lens = e2[:-1], e2[1:] - e2[:-1]
-        slot_present = (
-            jnp.zeros((P * K,), jnp.bool_)
-            .at[jnp.where(present, fs2, P * K)]
-            .set(True, mode="drop", unique_indices=True))
-        cnt = jnp.sum(slot_present.reshape(P, K).astype(jnp.int32), axis=1)
+        # per-Gaussian run lengths from the merged stream (production scheme)
+        m_eff_ids = jnp.sort(gauss_raw)
+        ridx = jnp.arange(m_eff_ids.shape[0], dtype=jnp.int32)
+        is_first = jnp.concatenate(
+            [jnp.ones((1,), bool), m_eff_ids[1:] != m_eff_ids[:-1]])
+        is_last = jnp.concatenate(
+            [m_eff_ids[:-1] != m_eff_ids[1:], jnp.ones((1,), bool)])
+        start_pos = jax.lax.associative_scan(
+            jnp.maximum, jnp.where(is_first, ridx, 0))
+        run_len = ridx - start_pos + 1
+        cnt = (
+            jnp.zeros((P,), jnp.int32)
+            .at[jnp.where(is_last & (m_eff_ids < P), m_eff_ids, P)]
+            .set(run_len, mode="drop", unique_indices=True))
 
         blend = _make_blend(grid.n_tx, band_rows, cfg.tile_h, cfg.tile_w,
                             M_pad2, K)
@@ -426,11 +440,16 @@ def main():
             jnp.moveaxis(color_t.reshape(3, band_rows, grid.n_tx,
                                          cfg.tile_h, cfg.tile_w), 2, 3),
             (3, band_rows * cfg.tile_h, grid.n_tx * cfg.tile_w))
-        img = jnp.zeros((3, grid.n_ty * cfg.tile_h, grid.n_tx * cfg.tile_w),
-                        jnp.float32)
-        img = jax.lax.dynamic_update_slice(img, color_l, (0, 0, 0))  # gather stub
-        image = img[:, :H, :W]
-        loss = losses.training_loss(image, gt, cfg.lambda_dssim) / D
+        # band-local loss (production r4 path): halo exchange is ICI
+        # (ppermute of 2×(3,HALO,W) ≈ 38 KB — noise), stubbed with zeros here
+        image_b = color_l[:, :, :W]
+        halo = losses.HALO
+        zrow = jnp.zeros((3, halo, W), jnp.float32)
+        rendered_ext = jnp.concatenate([zrow, image_b, zrow], axis=1)
+        gt_pad = jnp.pad(gt, ((0, 0), (halo, halo), (0, 0)))
+        gt_ext = gt_pad[:, :band_rows * cfg.tile_h + 2 * halo, :]
+        loss = losses.training_loss_band_part(
+            rendered_ext, gt_ext, 3 * H * W, cfg.lambda_dssim)
         return loss, (radius_ > 0)
 
     trainable_s = {
@@ -459,7 +478,10 @@ def main():
         return (t, opt_s)
 
     t_slice = timeit(lambda *a: slice_step(*a)[1]["xyz"], slice_args, args.iters)
-    ici_total = sum(ici.values()) - ici["psum grads"]  # v2 has no grad psum
+    # v2 has no grad psum; the r4 band-local loss also drops the image
+    # all_gather (replaced by a 2×(3,HALO,W) ≈ 38 KB halo ppermute — noise)
+    ici_total = (sum(ici.values()) - ici["psum grads"]
+                 - ici["all_gather image"])
     ici_v2 = ici_total + ici_allreduce_ms(P // D * 16 * 4 * D, D) / 2  # rows a-g
     ici_v2 += ici_allreduce_ms(36 * P, D) / 2                # (P,16→9) psum_scatter
     print(f"\nfused v2 one-device slice:    {t_slice:9.1f} ms (collectives stubbed)")
