@@ -1,11 +1,20 @@
 """Headline benchmark: training iters/sec at 1M Gaussians, 640x512 (fastlivo rig).
 
 North star (BASELINE.json): >=30 train iters/sec per keyframe at 1M Gaussians.
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line per metric; the headline line is LAST.
 
-The measured step is the full production train step (engine.trainer._make_train_step):
-tiled Pallas rasterizer forward -> 0.8*L1 + 0.2*(1-SSIM) -> custom-VJP backward ->
-visibility-masked sparse Adam on all six parameter groups.
+The measured step is the full production train step (engine.trainer), dispatched
+exactly as the engine dispatches it: jitted lax.scan bundles (tiled Pallas
+rasterizer forward -> 0.8*L1 + 0.2*(1-SSIM) -> custom-VJP backward ->
+visibility-masked sparse Adam on all six parameter groups).
+
+Measurement discipline (PERF.md): every timing window ends in a FORCED HOST
+SCALAR FETCH of a value computed by the window's last step (float(loss)).
+`block_until_ready` alone under-reports through the axon tunnel — round 4's
+headline loop used it and reported 1336 it/s while the honest number was
+~5 it/s (VERDICT.md r4 Weak #1). The headline is additionally cross-checked
+against the independently timed keyframe-cycle metric inside this script; on
+>35% disagreement the conservative number wins.
 """
 
 from __future__ import annotations
@@ -53,12 +62,37 @@ def build_bench_state(n_gauss: int, cfg, intr, n_kf: int = 4, seed: int = 0):
     return gm, kf
 
 
-def bench_keyframe(gm, kf, cfg, intr, step, opt):
+def _run_iters(gm, opt, kf, cfg, intr, n_iters: int, es0: int):
+    """Run n_iters production train steps via the engine's bundle decomposition,
+    ending with a forced host fetch of the final loss. Returns (gm, opt, es,
+    last_metrics)."""
+    import jax.numpy as jnp
+
+    from gaussian_lic_tpu.engine.trainer import (
+        _decompose_bundles,
+        _make_train_bundle,
+    )
+
+    es = es0
+    pos = 0
+    metrics = None
+    for k in _decompose_bundles(n_iters, cfg.opt_bundle_sizes):
+        bundle = _make_train_bundle(intr, cfg, k)
+        idxs = jnp.asarray([(pos + j) % 4 for j in range(k)], jnp.int32)
+        gm, opt, metrics = bundle(gm, opt, kf, idxs, jnp.asarray(es, jnp.int32))
+        es += k
+        pos += k
+    # forced completion: a host scalar computed by the LAST step of the window
+    _ = float(metrics["loss"])
+    return gm, opt, es, metrics
+
+
+def bench_keyframe(gm, kf, cfg, intr, opt, es0: int):
     """One full keyframe cycle at bench scale: extend (densify from a fresh
-    LiDAR batch) + cfg.max_iters_per_keyframe sequential train steps + the
+    LiDAR batch) + cfg.max_iters_per_keyframe bundled train steps + the
     on-device metric fetch — the wall time that must fit the stream period
     (select_every_k_frame / camera rate = 0.5 s on fastlivo, mapping.cpp's
-    real-time criterion). Returns seconds per keyframe."""
+    real-time criterion). Returns (seconds per keyframe, es)."""
     import jax
     import jax.numpy as jnp
 
@@ -75,22 +109,21 @@ def bench_keyframe(gm, kf, cfg, intr, step, opt):
     valid = jnp.ones((n_pts,), bool)
     extend_step = _make_extend_step(intr, cfg)
 
-    def one_keyframe(gm, opt, base):
+    def one_keyframe(gm, opt, es):
         gm, _added = extend_step(gm, kf, jnp.asarray(0, jnp.int32),
                                  pts, cols, dep, valid)
-        metrics = None
-        for i in range(cfg.max_iters_per_keyframe):
-            gm, opt, metrics = step(gm, opt, kf, jnp.asarray(i % 4, jnp.int32),
-                                    jnp.asarray(base + i, jnp.int32))
+        gm, opt, es, metrics = _run_iters(
+            gm, opt, kf, cfg, intr, cfg.max_iters_per_keyframe, es
+        )
         # the per-keyframe host fetch the engine performs (trainer.optimize)
-        _ = float(metrics["loss"]), int(metrics["budget_lost"])
+        _ = int(metrics["budget_lost"])
         jax.block_until_ready(gm.xyz)
-        return gm, opt
+        return gm, opt, es
 
-    gm, opt = one_keyframe(gm, opt, 1)  # warm (compile extend at this shape)
+    gm, opt, es = one_keyframe(gm, opt, es0)  # warm (compile extend + bundles)
     t0 = time.perf_counter()
-    gm, opt = one_keyframe(gm, opt, 101)
-    return time.perf_counter() - t0
+    gm, opt, es = one_keyframe(gm, opt, es)
+    return time.perf_counter() - t0, es
 
 
 def main():
@@ -99,7 +132,7 @@ def main():
 
     from gaussian_lic_tpu.camera import Intrinsics
     from gaussian_lic_tpu.config import load_params
-    from gaussian_lic_tpu.engine.trainer import PARAM_GROUPS, _make_train_step
+    from gaussian_lic_tpu.engine.trainer import PARAM_GROUPS
     from gaussian_lic_tpu.ops import adam as adam_ops
 
     n_gauss = 1 << 20  # 1M (RANK_BITS budget: exactly representable)
@@ -115,34 +148,44 @@ def main():
         )
         for name in PARAM_GROUPS
     }
-    step = _make_train_step(intr, cfg)
 
-    # warmup (compile + first exec)
-    for i in range(3):
-        gm, opt, metrics = step(gm, opt, kf, jnp.asarray(i % 4, jnp.int32),
-                                jnp.asarray(i + 1, jnp.int32))
-    jax.block_until_ready(gm.xyz)
+    # warmup: compile every bundle size the decomposition uses + first exec
+    gm, opt, es, _ = _run_iters(gm, opt, kf, cfg, intr,
+                                cfg.max_iters_per_keyframe, 1)
 
-    n_iters = 20
+    # headline: 3 windows x 100 steps, each window force-fetched
+    n_windows, window = 3, cfg.max_iters_per_keyframe
     t0 = time.perf_counter()
-    for i in range(n_iters):
-        gm, opt, metrics = step(gm, opt, kf, jnp.asarray(i % 4, jnp.int32),
-                                jnp.asarray(i + 4, jnp.int32))
-    jax.block_until_ready(gm.xyz)
+    for _w in range(n_windows):
+        gm, opt, es, _ = _run_iters(gm, opt, kf, cfg, intr, window, es)
     dt = time.perf_counter() - t0
-
-    iters_per_sec = n_iters / dt
+    iters_per_sec = n_windows * window / dt
 
     # secondary metric: one full keyframe cycle (extend + 100 steps + metric
     # fetch) vs the 0.5 s fastlivo stream period (10 Hz / stride 5). Printed
     # FIRST; the headline iters/s line stays last for the driver parser.
-    kf_seconds = bench_keyframe(gm, kf, cfg, intr, step, opt)
+    kf_seconds, es = bench_keyframe(gm, kf, cfg, intr, opt, es)
     print(json.dumps({
         "metric": "keyframe_cycle_seconds_1M_gaussians_100iters",
         "value": round(kf_seconds, 3),
         "unit": "s (stream period 0.5)",
         "vs_baseline": round(0.5 / kf_seconds, 3),
     }))
+
+    # cross-check: the keyframe cycle independently implies an iters/s bound
+    # (100 bundled steps + extend + fetch). The two timers must agree; if the
+    # headline loop ever under-reports again (round-4 failure mode), the
+    # conservative number wins.
+    implied = cfg.max_iters_per_keyframe / kf_seconds
+    agree = implied * 0.65 <= iters_per_sec <= implied * 1.54
+    print(json.dumps({
+        "metric": "bench_cross_check_iters_per_sec",
+        "value": round(implied, 3),
+        "unit": "iters/s implied by keyframe cycle",
+        "vs_baseline": round(iters_per_sec / implied, 3),
+    }))
+    if not agree:
+        iters_per_sec = min(iters_per_sec, implied)
 
     baseline = 30.0  # BASELINE.json north star
     print(json.dumps({

@@ -54,6 +54,14 @@ class Params:
 
     # --- training loop (gaussian.cpp:645) ---
     max_iters_per_keyframe: int = 100
+    # Jitted k-step bundle sizes for the per-keyframe optimization loop. The
+    # reference's CUDA loop pays no launch-queueing cost (gaussian.cpp:674-713);
+    # through the axon tunnel each XLA dispatch has a ~5 ms floor (PERF.md), so
+    # 100 sequential dispatches burn ~0.5 s/keyframe — the whole stream period.
+    # The engine decomposes the ≤100-iteration opt list greedily into lax.scan
+    # bundles of these sizes (100 → 64+16+16+4 = 4 dispatches; exact iteration
+    # count is preserved). Each distinct size compiles once per run.
+    opt_bundle_sizes: tuple = (64, 16, 4, 1)
 
     # --- TPU rasterizer knobs (no reference counterpart; DESIGN.md §2) ---
     tile_h: int = 32             # image-tile height (tile_h*tile_w must be 1024)
@@ -93,6 +101,13 @@ class Params:
     znear: float = 0.01
     zfar: float = 100.0
     seed: int = 0
+
+    def __post_init__(self) -> None:
+        # YAML gives lists; Params must stay hashable (jit static arg)
+        if not isinstance(self.opt_bundle_sizes, tuple):
+            object.__setattr__(
+                self, "opt_bundle_sizes", tuple(self.opt_bundle_sizes)
+            )
 
     @property
     def num_sh_rest(self) -> int:

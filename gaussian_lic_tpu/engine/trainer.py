@@ -66,10 +66,16 @@ class PhaseTimers:
 
 
 @functools.lru_cache(maxsize=8)
-def _make_train_step(intr: Intrinsics, cfg: Params):
+def _make_train_step_body(intr: Intrinsics, cfg: Params, with_grads: bool = False):
+    """The raw (unjitted) train-step function — jitted directly by
+    `_make_train_step` and scanned by `_make_train_bundle`. `with_grads=True`
+    adds the raw pre-Adam gradient pytree to the metrics — used only by parity
+    checks (the multichip dryrun compares gradients, which are
+    reduction-order-robust, instead of post-Adam params, whose sparse-Adam
+    update is sign(g)·lr-scaled and therefore chaotic where the true gradient
+    is fp-cancellation noise)."""
     lrs = LearningRates.from_params(cfg)
 
-    @jax.jit
     def train_step(gm: GaussianMap, opt_state, kf: KeyframeBuffer, idx, exp_step):
         cam = kf.camera(intr, idx)
         gt = kf.images[idx].astype(jnp.float32) / 255.0
@@ -128,9 +134,75 @@ def _make_train_step(intr: Intrinsics, cfg: Params):
             "budget_lost": out.budget_lost,
             "truncated": out.truncated,
         }
+        if with_grads:
+            metrics["grads"] = {name: grads[name] for name in PARAM_GROUPS}
         return gm_new, new_opt, metrics
 
     return train_step
+
+
+@functools.lru_cache(maxsize=8)
+def _make_train_step(intr: Intrinsics, cfg: Params, with_grads: bool = False):
+    """One jitted train step (gm, opt, kf, idx, exp_step) → (gm', opt', metrics)."""
+    return jax.jit(_make_train_step_body(intr, cfg, with_grads))
+
+
+@functools.lru_cache(maxsize=16)
+def _make_train_bundle(intr: Intrinsics, cfg: Params, k: int):
+    """k train steps fused into ONE jitted dispatch via lax.scan.
+
+    Through the axon tunnel every dispatch pays a ~5 ms floor (PERF.md), so the
+    reference's 100-sequential-launch optimize loop (gaussian.cpp:674-713) costs
+    ~0.5 s/keyframe in pure overhead if translated 1:1. Scanning the step body
+    compiles it once and runs the k iterations device-side back-to-back.
+
+    Signature: (gm, opt, kf, idxs (k,) int32, es0 () int32) →
+    (gm', opt', metrics) with metrics aggregated across the bundle:
+    loss/n_visible from the LAST step, visible_sum summed, budget_lost /
+    truncated maxed (a mid-bundle binning overflow must trigger the engine's
+    splat-budget growth even if the final step fit)."""
+    body = _make_train_step_body(intr, cfg)
+
+    @jax.jit
+    def train_bundle(gm: GaussianMap, opt_state, kf: KeyframeBuffer, idxs, es0):
+        ess = es0 + jnp.arange(k, dtype=jnp.int32)
+
+        def scan_body(carry, x):
+            gm, opt_state = carry
+            idx, es = x
+            gm, opt_state, m = body(gm, opt_state, kf, idx, es)
+            return (gm, opt_state), (
+                m["loss"], m["n_visible"], m["budget_lost"], m["truncated"]
+            )
+
+        (gm, opt_state), (loss_h, vis_h, bl_h, tr_h) = jax.lax.scan(
+            scan_body, (gm, opt_state), (idxs, ess)
+        )
+        bl = jnp.max(bl_h)
+        tr = jnp.max(tr_h)
+        metrics = {
+            "loss": loss_h[-1],
+            "n_visible": vis_h[-1],
+            "visible_sum": jnp.sum(vis_h),
+            "budget_lost": bl,
+            "truncated": tr,
+            "overflow": bl + tr,
+        }
+        return gm, opt_state, metrics
+
+    return train_bundle
+
+
+def _decompose_bundles(n: int, sizes: tuple) -> List[int]:
+    """Greedy decomposition of n iterations into the configured bundle sizes
+    (always terminates: a trailing 1 is implied)."""
+    sizes = tuple(sorted(set(sizes) | {1}, reverse=True))
+    out: List[int] = []
+    for s in sizes:
+        while n >= s:
+            out.append(s)
+            n -= s
+    return out
 
 
 _splat_budget = _splat_budget_for
@@ -243,6 +315,7 @@ class MappingEngine:
         self._overflow_warned = False
         self._kf_names: List[str] = []
         self._extend_shapes: set = set()
+        self._bundles: Dict[int, object] = {}
 
     # ------------------------------------------------------------------ frames
 
@@ -376,9 +449,29 @@ class MappingEngine:
 
     # ---------------------------------------------------------------- optimize
 
+    def _get_bundle(self, k: int):
+        """Jitted k-step scan bundle for the current config (compiled once per
+        distinct k; the cache is dropped when the config changes)."""
+        fn = self._bundles.get(k)
+        if fn is None:
+            if self.mesh is not None:
+                from gaussian_lic_tpu.parallel import make_sharded_train_bundle
+
+                fn = make_sharded_train_bundle(self.intr, self.cfg, self.mesh, k)
+            else:
+                fn = _make_train_bundle(self.intr, self.cfg, k)
+            self._bundles[k] = fn
+            self.timers.compiles += 1
+        return fn
+
     def optimize(self, max_iters: Optional[int] = None) -> float:
         """≤100 iterations over shuffled random past keyframes
-        (optimize, gaussian.cpp:640-719). Returns mean #updated Gaussians."""
+        (optimize, gaussian.cpp:640-719). Returns mean #updated Gaussians.
+
+        Iterations are dispatched as jitted lax.scan bundles (cfg.opt_bundle_sizes;
+        100 → 4 dispatches) — the exact iteration count and keyframe order are
+        unchanged, only the dispatch overhead is amortized (~5 ms/dispatch
+        through the axon tunnel, PERF.md)."""
         cfg = self.cfg
         max_iters = max_iters or cfg.max_iters_per_keyframe
         n_kf = self.kf_count
@@ -391,30 +484,34 @@ class MappingEngine:
         self.rng.shuffle(opt_list)
         if len(opt_list) == 0:
             return 0.0
+        opt_list = opt_list.astype(np.int32)
 
-        train_step = self._sharded_step or _make_train_step(self.intr, cfg)
-        visible_counts = []
+        visible_sums = []
         budget_losses = []
         truncations = []
         t0 = time.perf_counter()
-        for idx in opt_list:
-            self.exposure_steps += 1
-            self.gm, self.opt_state, metrics = train_step(
-                self.gm, self.opt_state, self.kf_buffer,
-                jnp.asarray(int(idx), jnp.int32),
-                jnp.asarray(self.exposure_steps, jnp.int32),
+        pos = 0
+        for k in _decompose_bundles(len(opt_list), cfg.opt_bundle_sizes):
+            bundle = self._get_bundle(k)
+            idxs = jnp.asarray(opt_list[pos:pos + k])
+            pos += k
+            self.gm, self.opt_state, metrics = bundle(
+                self.gm, self.opt_state, self.kf_buffer, idxs,
+                jnp.asarray(self.exposure_steps + 1, jnp.int32),
             )
-            # keep metrics on device: a host read here would sync every step
-            # and serialize dispatch with execution (≥1 RTT per iteration)
-            visible_counts.append(metrics["n_visible"])
+            self.exposure_steps += k
+            # keep metrics on device: a host read here would sync with
+            # execution (≥1 tunnel RTT per dispatch)
+            visible_sums.append(metrics["visible_sum"])
             budget_losses.append(metrics["budget_lost"])
             truncations.append(metrics["truncated"])
         jax.block_until_ready(self.gm.xyz)
         self.timers.optimize_steps += time.perf_counter() - t0
-        # one stacked device→host fetch per metric list (per-element int()
-        # would cost one tunnel round trip per iteration)
-        updated = int(np.sum(np.asarray(jnp.stack(visible_counts))))
-        self.last_metrics = {k: float(v) for k, v in metrics.items()}
+        # one stacked device→host fetch per metric list
+        updated = int(np.sum(np.asarray(jnp.stack(visible_sums))))
+        self.last_metrics = {
+            k_: float(v) for k_, v in metrics.items() if k_ != "visible_sum"
+        }
         # Overflow is accumulated over EVERY step of the batch (a mid-batch
         # overflow must trigger growth this keyframe, not only when it happens
         # to recur on the final iteration).
@@ -457,6 +554,7 @@ class MappingEngine:
             )
             self.cfg = cfg.replace(splat_budget_factor=new_f)
             self.timers.compiles += 1
+            self._bundles.clear()  # budget is baked into the compiled programs
             if self.mesh is not None:
                 from gaussian_lic_tpu.parallel import make_sharded_train_step
 

@@ -391,11 +391,13 @@ def _opt_pspecs(cfg: Params, axis_name: str) -> dict:
     return specs
 
 
-def make_sharded_train_step(intr: Intrinsics, cfg: Params, mesh: Mesh,
-                            axis_name: str = AXIS_TILES):
-    """Jitted SPMD train step, signature-compatible with the single-chip
-    trainer._make_train_step product — (gm, opt_state, kf, idx, exp_step) →
-    (gm', opt_state', metrics).
+def _make_train_device_body(intr: Intrinsics, cfg: Params, mesh: Mesh,
+                            axis_name: str = AXIS_TILES,
+                            with_grads: bool = False):
+    """Per-device SPMD train-step body (runs inside shard_map) plus the
+    in/out partition specs. Shared by `make_sharded_train_step` (one step per
+    dispatch) and `make_sharded_train_bundle` (k steps per dispatch via
+    lax.scan, amortizing the dispatch floor like trainer._make_train_bundle).
 
     Fully sharded design (round 2; round 1 replicated params and psum'd a
     ~59-column full-P gradient — ~250 MB of ICI per step at 1M Gaussians):
@@ -580,7 +582,9 @@ def make_sharded_train_step(intr: Intrinsics, cfg: Params, mesh: Mesh,
             log_scale=new_trainable["log_scale"], quat=new_trainable["quat"],
         )
         if cfg.apply_exposure:
-            # exposure is replicated; each device holds 1/D of its gradient
+            # exposure is replicated; each device holds its band's partial
+            # gradient (band-loss path) or 1/D of the full one (replicated
+            # path) — the psum yields the total either way
             exp_grad = lax.psum(grads["exposure"], axis_name)
             exp_p, exp_st = adam_ops.dense_adam_update(
                 trainable["exposure"], exp_grad, opt_state["exposure"],
@@ -605,10 +609,28 @@ def make_sharded_train_step(intr: Intrinsics, cfg: Params, mesh: Mesh,
             "budget_lost": bl,
             "truncated": tr,
         }
+        if with_grads:
+            metrics["grads"] = {
+                name: lax.all_gather(grads[name], axis_name, axis=0, tiled=True)
+                for name in ("xyz", "dc", "sh_rest", "opacity",
+                             "log_scale", "quat")
+            }
         return gm_new, new_opt, metrics
 
-    gm_specs = _gm_pspecs(cfg, axis_name)
-    opt_specs = _opt_pspecs(cfg, axis_name)
+    return device_body, _gm_pspecs(cfg, axis_name), _opt_pspecs(cfg, axis_name)
+
+
+def make_sharded_train_step(intr: Intrinsics, cfg: Params, mesh: Mesh,
+                            axis_name: str = AXIS_TILES,
+                            with_grads: bool = False):
+    """Jitted SPMD train step, signature-compatible with the single-chip
+    trainer._make_train_step product — (gm, opt_state, kf, idx, exp_step) →
+    (gm', opt_state', metrics). `with_grads=True` adds the all-gathered
+    pre-Adam gradient pytree to the metrics (parity checks only — see
+    trainer._make_train_step). Design rationale in `_make_train_device_body`."""
+    device_body, gm_specs, opt_specs = _make_train_device_body(
+        intr, cfg, mesh, axis_name, with_grads
+    )
     step = jax.shard_map(
         device_body,
         mesh=mesh,
@@ -617,6 +639,52 @@ def make_sharded_train_step(intr: Intrinsics, cfg: Params, mesh: Mesh,
         check_vma=False,
     )
     return jax.jit(step)
+
+
+def make_sharded_train_bundle(intr: Intrinsics, cfg: Params, mesh: Mesh,
+                              k: int, axis_name: str = AXIS_TILES):
+    """k sharded train steps fused into ONE jitted SPMD dispatch via lax.scan
+    inside shard_map — the multi-chip twin of trainer._make_train_bundle, with
+    identical signature and metric aggregation: (gm, opt, kf, idxs (k,) int32,
+    es0 () int32) → (gm', opt', metrics)."""
+    device_body, gm_specs, opt_specs = _make_train_device_body(
+        intr, cfg, mesh, axis_name
+    )
+
+    def device_bundle(gm_s: GaussianMap, opt_state, kf, idxs, es0):
+        ess = es0 + jnp.arange(k, dtype=jnp.int32)
+
+        def scan_body(carry, x):
+            gm_s, opt_state = carry
+            idx, es = x
+            gm_s, opt_state, m = device_body(gm_s, opt_state, kf, idx, es)
+            return (gm_s, opt_state), (
+                m["loss"], m["n_visible"], m["budget_lost"], m["truncated"]
+            )
+
+        (gm_s, opt_state), (loss_h, vis_h, bl_h, tr_h) = lax.scan(
+            scan_body, (gm_s, opt_state), (idxs, ess)
+        )
+        bl = jnp.max(bl_h)
+        tr = jnp.max(tr_h)
+        metrics = {
+            "loss": loss_h[-1],
+            "n_visible": vis_h[-1],
+            "visible_sum": jnp.sum(vis_h),
+            "budget_lost": bl,
+            "truncated": tr,
+            "overflow": bl + tr,
+        }
+        return gm_s, opt_state, metrics
+
+    bundle = jax.shard_map(
+        device_bundle,
+        mesh=mesh,
+        in_specs=(gm_specs, opt_specs, P(), P(), P()),
+        out_specs=(gm_specs, opt_specs, P()),
+        check_vma=False,
+    )
+    return jax.jit(bundle)
 
 
 def make_sharded_render(intr: Intrinsics, cfg: Params, mesh: Mesh,

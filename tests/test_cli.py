@@ -8,6 +8,8 @@ import pytest
 
 from gaussian_lic_tpu.run import main
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas / full-engine runs: minutes on CPU
+
 
 class TestCli:
     def test_demo_run_writes_outputs(self, tmp_path):

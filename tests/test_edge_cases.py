@@ -12,6 +12,8 @@ from gaussian_lic_tpu.engine.trainer import MappingEngine
 from gaussian_lic_tpu.models.gaussians import GaussianMap, initialize_map
 from gaussian_lic_tpu.ops.rasterize import render_map
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas / full-engine runs: minutes on CPU
+
 INTR = Intrinsics(width=128, height=64, fx=60.0, fy=60.0, cx=64.0, cy=32.0)
 
 

@@ -12,6 +12,8 @@ from gaussian_lic_tpu.ops import losses
 from gaussian_lic_tpu.ops.rasterize import render_map
 from gaussian_lic_tpu.utils.synthetic import make_sequence, make_world
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas / full-engine runs: minutes on CPU
+
 
 @pytest.fixture(scope="module")
 def tiny_cfg():

@@ -1,11 +1,14 @@
 """Erank (anti-needle) regularizer tests vs a NumPy transcription of the
 reference gradient formula (backward.cu:355-376)."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
 
 from gaussian_lic_tpu.ops.erank import erank_regularizer
+
+pytestmark = pytest.mark.slow  # interpret-mode Pallas / full-engine runs: minutes on CPU
 
 
 def _oracle_grad(scale: np.ndarray, lam: float) -> np.ndarray:

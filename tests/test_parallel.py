@@ -21,6 +21,8 @@ from gaussian_lic_tpu.parallel import (
 )
 from gaussian_lic_tpu.utils.synthetic import make_sequence, make_world
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas / full-engine runs: minutes on CPU
+
 
 @pytest.fixture(scope="module")
 def setup():
@@ -115,6 +117,84 @@ class TestShardedTrainStep:
                 np.asarray(opt1[name].exp_avg),
                 atol=2e-5,
                 err_msg=f"exp_avg {name}",
+            )
+
+    def test_two_step_parity_robust(self, setup):
+        """The multichip dryrun's 2-step check, mirrored in CI (VERDICT r4 #2):
+        loss at 1e-6, pre-Adam grads at rtol 3e-4/atol 3e-7, post-Adam params
+        at 2e-5 on gradient-carrying lanes only. Lanes whose gradient is
+        fp-cancellation noise (< 3e-6 in both programs at any step) are
+        excluded: sparse Adam's zero-init step is ±3.16·lr·sign(g) regardless
+        of |g| (adam.cu:30-34 semantics), so a reduction-order sign flip there
+        is an O(lr) param divergence by construction, not a bug."""
+        cfg, intr, gm, kf, opt = setup
+        from gaussian_lic_tpu.models.gaussians import LearningRates
+
+        lrs = LearningRates.from_params(cfg)
+        lr_map = dict(xyz=lrs.xyz, dc=lrs.dc, sh_rest=lrs.sh_rest,
+                      opacity=lrs.opacity, log_scale=lrs.log_scale,
+                      quat=lrs.quat)
+        step1 = _make_train_step(intr, cfg, with_grads=True)
+        step8 = make_sharded_train_step(intr, cfg, make_mesh(8),
+                                        with_grads=True)
+        gm_s, opt_s = gm, opt
+        gm_r, opt_r = gm, opt
+        noise = {name: 0 for name in PARAM_GROUPS}
+        for i in range(2):
+            idx = jnp.asarray(i % 2, jnp.int32)
+            es = jnp.asarray(i + 1, jnp.int32)
+            gm_s, opt_s, m_s = step8(gm_s, opt_s, kf, idx, es)
+            gm_r, opt_r, m_r = step1(gm_r, opt_r, kf, idx, es)
+            assert abs(float(m_s["loss"]) - float(m_r["loss"])) < 1e-6
+            for name in PARAM_GROUPS:
+                g_s = np.asarray(m_s["grads"][name])
+                g_r = np.asarray(m_r["grads"][name])
+                np.testing.assert_allclose(
+                    g_s, g_r, rtol=3e-4, atol=3e-7,
+                    err_msg=f"step {i} grads {name}",
+                )
+                noise[name] = noise[name] | (
+                    np.maximum(np.abs(g_s), np.abs(g_r)) < 3e-6
+                )
+                p_s = np.asarray(gm_s.trainable()[name])
+                p_r = np.asarray(gm_r.trainable()[name])
+                clean = ~noise[name]
+                np.testing.assert_allclose(
+                    np.where(clean, p_s, 0.0), np.where(clean, p_r, 0.0),
+                    atol=2e-5, err_msg=f"step {i} params {name}",
+                )
+                assert float(
+                    np.max(np.abs(p_s - p_r), initial=0.0, where=noise[name])
+                ) <= 10.0 * lr_map[name]
+
+    def test_sharded_bundle_matches_sequential(self, setup):
+        """make_sharded_train_bundle(k) must equal k sequential sharded steps
+        bit-for-tolerance (same programs, scanned) and aggregate metrics."""
+        from gaussian_lic_tpu.parallel import make_sharded_train_bundle
+
+        cfg, intr, gm, kf, opt = setup
+        mesh = make_mesh(4)
+        step = make_sharded_train_step(intr, cfg, mesh)
+        gm_r, opt_r = gm, opt
+        vis = 0
+        for i in range(3):
+            gm_r, opt_r, m_r = step(
+                gm_r, opt_r, kf, jnp.asarray(i % 3, jnp.int32),
+                jnp.asarray(i + 1, jnp.int32),
+            )
+            vis += int(m_r["n_visible"])
+        bundle = make_sharded_train_bundle(intr, cfg, mesh, 3)
+        gm_b, opt_b, m_b = bundle(
+            gm, opt, kf, jnp.asarray([0, 1, 2], jnp.int32),
+            jnp.asarray(1, jnp.int32),
+        )
+        assert int(m_b["visible_sum"]) == vis
+        assert abs(float(m_b["loss"]) - float(m_r["loss"])) < 1e-6
+        for name in PARAM_GROUPS:
+            np.testing.assert_allclose(
+                np.asarray(gm_b.trainable()[name]),
+                np.asarray(gm_r.trainable()[name]),
+                atol=1e-6, err_msg=f"bundle params {name}",
             )
 
     def test_multi_step_loss_decreases(self, setup):

@@ -14,6 +14,8 @@ from gaussian_lic_tpu.ops.projection import project_gaussians
 from gaussian_lic_tpu.ops.rasterize import render_tiled
 from gaussian_lic_tpu.ops.rasterize_ref import render_dense
 
+pytestmark = pytest.mark.slow  # interpret-mode Pallas / full-engine runs: minutes on CPU
+
 INTR = Intrinsics(width=256, height=64, fx=80.0, fy=80.0, cx=128.0, cy=32.0)
 
 

@@ -1,6 +1,7 @@
 """Dense oracle renderer tests: analytic single-splat checks, compositing order,
 early termination, and gradient finite-difference checks."""
 
+import pytest
 import numpy as np
 import jax
 import jax.numpy as jnp
@@ -8,6 +9,8 @@ import jax.numpy as jnp
 from gaussian_lic_tpu.camera import Intrinsics, make_camera, look_at
 from gaussian_lic_tpu.ops import sh as sh_ops
 from gaussian_lic_tpu.ops.rasterize_ref import render_dense
+
+pytestmark = pytest.mark.slow  # interpret-mode Pallas / full-engine runs: minutes on CPU
 
 INTR = Intrinsics(width=48, height=32, fx=40.0, fy=40.0, cx=24.0, cy=16.0)
 
