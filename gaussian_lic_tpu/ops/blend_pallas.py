@@ -29,9 +29,9 @@ n_contrib (1-based index of the last applied splat within the tile's range).
 
 Backward: back-to-front walk reconstructing per-pixel transmittance by division
 from final_T (the Inria scheme — no warp shuffles, no atomics). Per-splat
-sublane reductions run as ONE f32-precision ones-dot on the otherwise-idle MXU
-(nine lane-concatenated raw fields at once — measured −11.4 ms vs VPU shift
-trees); splat/gradient DMAs are double-buffered with write-back overlap
+sublane reductions run as VPU shift trees (an MXU ones-dot is faster only at
+bf16 precision, whose rounding corrupts the gradients — see the in-kernel
+note); splat/gradient DMAs are double-buffered with write-back overlap
 (−3.3 ms, bit-identical). Per-entry gradients are ACCUMULATED into a
 caller-zeroed (SPLAT_ROWS, M_pad) buffer
 (input/output aliased): the sequential grid serializes read-modify-write on
@@ -195,42 +195,61 @@ def _forward_kernel(
         lo = start - chunk_start            # window within this chunk
         hi = start + length - chunk_start
 
-        def group_step(g_idx, c):
-            T, Cr, Cg, Cb, done, last = c
-            for s in range(SUB):
-                x, y, A, B, Cc, opa, r, g, b = _splat_attrs(
-                    lambda f: dbuf[slot, g_idx, s * SPLAT_ROWS + f], no_color
-                )
-                j = g_idx * SUB + s
-                # fold the (scalar) chunk-window test into the opacity operand:
-                # out-of-window → α = 0 → fails the α ≥ 1/255 test identically,
-                # one vector AND cheaper per splat
-                opa = jnp.where((j >= lo) & (j < hi), opa, 0.0)
-                # conic halves negated on the scalar unit → the quadratic form
-                # is 2 fewer vector ops in fma form
-                nA = -0.5 * A
-                nC = -0.5 * Cc
-                dx = x - px
-                dy = y - py
-                power = (nA * dx - B * dy) * dx + (nC * dy) * dy
-                alpha = jnp.minimum(ALPHA_CAP, opa * jnp.exp(power))
-                contrib = (alpha >= OPACITY_THRESHOLD) & (power <= 0.0)
-                test_T = T * (1.0 - alpha)
-                would_term = contrib & (test_T < T_EPS)
-                applied = contrib & (done < 0.5) & jnp.logical_not(would_term)
-                done = jnp.maximum(done, would_term.astype(jnp.float32))
-                w = jnp.where(applied, alpha, 0.0) * T
-                if not no_color:
-                    Cr = Cr + w * r
-                    Cg = Cg + w * g
-                    Cb = Cb + w * b
-                    pos = chunk_start + j - start + 1  # 1-based in-range index
-                    last = jnp.where(applied, pos, last)
-                T = jnp.where(applied, test_T, T)
-            return (T, Cr, Cg, Cb, done, last)
+        def make_group_step(windowed: bool):
+            def group_step(g_idx, c):
+                T, Cr, Cg, Cb, done, last = c
+                for s in range(SUB):
+                    x, y, A, B, Cc, opa, r, g, b = _splat_attrs(
+                        lambda f: dbuf[slot, g_idx, s * SPLAT_ROWS + f], no_color
+                    )
+                    j = g_idx * SUB + s
+                    if windowed:
+                        # fold the (scalar) chunk-window test into the opacity
+                        # operand: out-of-window → α = 0 → fails the α ≥ 1/255
+                        # test identically, one vector AND cheaper per splat
+                        opa = jnp.where((j >= lo) & (j < hi), opa, 0.0)
+                    # conic halves negated on the scalar unit → the quadratic
+                    # form is 2 fewer vector ops in fma form
+                    nA = -0.5 * A
+                    nC = -0.5 * Cc
+                    dx = x - px
+                    dy = y - py
+                    power = (nA * dx - B * dy) * dx + (nC * dy) * dy
+                    alpha = jnp.minimum(ALPHA_CAP, opa * jnp.exp(power))
+                    contrib = (alpha >= OPACITY_THRESHOLD) & (power <= 0.0)
+                    test_T = T * (1.0 - alpha)
+                    would_term = contrib & (test_T < T_EPS)
+                    applied = contrib & (done < 0.5) & jnp.logical_not(would_term)
+                    done = jnp.maximum(done, would_term.astype(jnp.float32))
+                    w = jnp.where(applied, alpha, 0.0) * T
+                    if not no_color:
+                        Cr = Cr + w * r
+                        Cg = Cg + w * g
+                        Cb = Cb + w * b
+                        pos = chunk_start + j - start + 1  # 1-based in-range idx
+                        last = jnp.where(applied, pos, last)
+                    T = jnp.where(applied, test_T, T)
+                return (T, Cr, Cg, Cb, done, last)
+
+            return group_step
 
         def process(c):
-            return jax.lax.fori_loop(0, CHUNK // SUB, group_step, c)
+            # Interior fast path: a tile's range spans many chunks but only the
+            # FIRST and LAST are partial — every interior chunk has lo ≤ 0 and
+            # hi ≥ CHUNK, making the per-splat window test the identity. The
+            # scalar unit is this kernel's bind (PERF.md kernel hunt), so the
+            # ~3 scalar ops/splat it saves are a direct win on most chunks.
+            interior = (lo <= 0) & (hi >= CHUNK)
+            return jax.lax.cond(
+                interior,
+                lambda c: jax.lax.fori_loop(
+                    0, CHUNK // SUB, make_group_step(False), c
+                ),
+                lambda c: jax.lax.fori_loop(
+                    0, CHUNK // SUB, make_group_step(True), c
+                ),
+                c,
+            )
 
         all_done = jnp.min(done) > 0.5
         return jax.lax.cond(all_done, lambda c: c, process, (T, Cr, Cg, Cb, done, last))
@@ -330,9 +349,6 @@ def _backward_kernel(
     *, n_tx: int, tile_h: int, tile_w: int,
 ):
     del grads_in_ref  # same buffer as grads_ref (input/output alias)
-    # Ones row for the MXU sublane reduction (pallas_call rejects captured
-    # consts, so it is built in-kernel; Mosaic folds it to a constant).
-    ones8 = jnp.ones((1, VREG_H), jnp.float32)
     t = pl.program_id(0)
     start = starts_ref[t]
     length = lens_ref[t]
@@ -397,16 +413,22 @@ def _backward_kernel(
             dma_grad(ci - 1, 1 - slot).start()
 
         lo = start - chunk_start
-        hi = start + length - chunk_start
 
-        def group_step(gr, c):
+        def make_group_step(windowed: bool):
+            return functools.partial(_bwd_group_step, windowed)
+
+        def _bwd_group_step(windowed, gr, c):
             T_run, Sdl = c
             g_idx = (CHUNK // SUB) - 1 - gr
-            # deferred reductions: per splat, ONE MXU ones-dot reduces all nine
-            # lane-concatenated raw fields (8, 9·128) → (1, 9·128) at once
-            # (measured −11.4 ms vs nine VPU sublane-reduction trees — the MXU
-            # is otherwise idle in this kernel); the lane reduction is shared
-            # per group (9 trees instead of 72)
+            # deferred reductions: per splat only sublane-reduce (8,128)→(1,128)
+            # on the VPU; the lane reduction is shared per group (9 trees
+            # instead of 72). An MXU ones-dot over the 9 lane-concatenated raw
+            # fields measured −11.4 ms — but only at DEFAULT (bf16, one-pass)
+            # precision, whose 8-mantissa-bit rounding puts ~1.6e-3 relative
+            # error on the gradients; at the f32-accurate Precision.HIGHEST the
+            # multi-pass decomposition made the whole kernel 57 → 119 ms (the
+            # round-4 regression, profiled 2026-08-20). VPU trees are the f32
+            # optimum until a split-hi/lo bf16 two-pass dot is proven.
             q_parts = [[None] * SUB for _ in range(9)]
             for sr in range(SUB):
                 s = SUB - 1 - sr  # back-to-front within the group
@@ -414,8 +436,14 @@ def _backward_kernel(
                     lambda f: dbuf[slot, g_idx, s * SPLAT_ROWS + f], False
                 )
                 j = g_idx * SUB + s
-                # scalar window test folded into opacity (see forward kernel)
-                opa = jnp.where((j >= lo) & (j < hi), opa, 0.0)
+                if windowed:
+                    # scalar window test folded into opacity (forward kernel
+                    # note). Only the LOW side is needed here: entries past the
+                    # range end have pos > length ≥ ncontrib, so the
+                    # pos ≤ ncontrib gate below already kills them; entries
+                    # before the range start have pos ≤ 0 ≤ ncontrib and need
+                    # this mask.
+                    opa = jnp.where(j >= lo, opa, 0.0)
                 nA = -0.5 * A
                 nC = -0.5 * Cc
                 dx = x - px
@@ -455,32 +483,21 @@ def _backward_kernel(
                 t1 = gd * dx
                 t2 = gd * dy
 
-                # one (1,8)×(8,1152) ones-dot = all nine sublane reductions.
-                # precision=HIGHEST: the default bf16 MXU pass rounds the raw
-                # fields to 8 mantissa bits (measured ~1.6e-3 relative gradient
-                # error); the 3-pass f32 decomposition restores f32-accurate
-                # sums at no measurable cost (the dot is tiny and MXU-parallel
-                # to the VPU blend math).
-                raw = jnp.concatenate(
-                    [t1, t2, t1 * dx, t1 * dy, t2 * dy, E,
-                     wsel * dlr, wsel * dlg, wsel * dlb], axis=1)
-                red = jax.lax.dot_general(
-                    ones8, raw, (((1,), (0,)), ((), ())),
-                    precision=jax.lax.Precision.HIGHEST,
-                    preferred_element_type=jnp.float32)      # (1, 9·128)
-                m1, m2, m3, m4, m5, m6, m7, m8, m9 = (
-                    red[:, k * VREG_W:(k + 1) * VREG_W] for k in range(9)
-                )
+                def rsum(q):
+                    return jnp.sum(q, axis=0, keepdims=True)
+
+                m1 = rsum(t1)
+                m2 = rsum(t2)
                 quantities = (
                     -(A * m1 + B * m2),          # d_x
                     -(Cc * m2 + B * m1),         # d_y
-                    -0.5 * m3,                   # d_A
-                    -m4,                         # d_B
-                    -0.5 * m5,                   # d_C
-                    m6,                          # d_opa
-                    m7,                          # d_r
-                    m8,                          # d_g
-                    m9,                          # d_b
+                    -0.5 * rsum(t1 * dx),        # d_A
+                    -rsum(t1 * dy),              # d_B
+                    -0.5 * rsum(t2 * dy),        # d_C
+                    rsum(E),                     # d_opa
+                    rsum(wsel * dlr),            # d_r
+                    rsum(wsel * dlg),            # d_g
+                    rsum(wsel * dlb),            # d_b
                 )
                 for qi in range(9):
                     q_parts[qi][s] = quantities[qi]
@@ -496,7 +513,19 @@ def _backward_kernel(
             gbuf[pl.ds(g_idx * SUB, SUB), :] = block_g
             return (T_run, Sdl)
 
-        carry = jax.lax.fori_loop(0, CHUNK // SUB, group_step, (T_run, Sdl))
+        # Interior fast path (forward kernel note): only the chunk containing
+        # `start` needs the low-side window mask; every other chunk in the
+        # walk has lo ≤ 0 and the test is the identity.
+        carry = jax.lax.cond(
+            lo <= 0,
+            lambda c: jax.lax.fori_loop(
+                0, CHUNK // SUB, make_group_step(False), c
+            ),
+            lambda c: jax.lax.fori_loop(
+                0, CHUNK // SUB, make_group_step(True), c
+            ),
+            (T_run, Sdl),
+        )
 
         # accumulate into the shared gradient buffer (sequential grid ⇒ the
         # read of a boundary chunk sees the neighbor tile's finished writes).
