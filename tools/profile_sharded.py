@@ -60,6 +60,9 @@ def main():
     ap.add_argument("--width", type=int, default=None,
                     help="override rig width (CPU smoke of the harness)")
     ap.add_argument("--height", type=int, default=None)
+    ap.add_argument("--bucket-overprovision", type=float, default=None,
+                    help="override cfg.bucket_overprovision (band-list volume "
+                         "multiple; the D=8 non-scaling knob)")
     args = ap.parse_args()
     D = args.d
 
@@ -87,6 +90,8 @@ def main():
         size = dict(width=args.width, height=args.height or args.width,
                     fx=args.width / 2.0, fy=args.width / 2.0,
                     cx=args.width / 2.0, cy=(args.height or args.width) / 2.0)
+    if args.bucket_overprovision is not None:
+        size["bucket_overprovision"] = args.bucket_overprovision
     cfg = load_params(preset="fastlivo", initial_capacity=P,
                       skybox_points_num=0, **size)
     intr = Intrinsics(width=cfg.width, height=cfg.height,
