@@ -293,12 +293,7 @@ class MappingEngine:
             fx=cfg.fx, fy=cfg.fy, cx=cfg.cx, cy=cfg.cy,
             znear=cfg.znear, zfar=cfg.zfar,
         )
-        self.mesh = mesh
-        self._sharded_step = None
-        if mesh is not None:
-            from gaussian_lic_tpu.parallel import make_sharded_train_step
-
-            self._sharded_step = make_sharded_train_step(self.intr, cfg, mesh)
+        self.mesh = mesh  # training dispatches via _get_bundle (scan bundles)
         self.result_path = result_path
         self.lpips_path = lpips_path
         self.gm: Optional[GaussianMap] = None
@@ -555,12 +550,6 @@ class MappingEngine:
             self.cfg = cfg.replace(splat_budget_factor=new_f)
             self.timers.compiles += 1
             self._bundles.clear()  # budget is baked into the compiled programs
-            if self.mesh is not None:
-                from gaussian_lic_tpu.parallel import make_sharded_train_step
-
-                self._sharded_step = make_sharded_train_step(
-                    self.intr, self.cfg, self.mesh
-                )
             print(
                 f"[gaussian-lic-tpu] binning overflow ({budget_lost} slots "
                 "past the splat budget): splat budget grows "

@@ -221,16 +221,19 @@ class TestSplatBudgetAutoGrow:
             eng.add_frame(f)
         return eng
 
-    def _scripted_step(self, eng, budget_lost_seq, truncated_seq):
-        """Wrap the real train step, overriding the overflow metrics of call i
-        with the i-th scripted values (later calls read 0)."""
-        from gaussian_lic_tpu.engine.trainer import _make_train_step
+    def _script_bundles(self, eng, budget_lost_seq, truncated_seq):
+        """Pre-populate the engine's bundle cache (the optimize() dispatch
+        path) with wrappers over the real k=1 bundle that override the
+        overflow metrics of dispatch i with the i-th scripted values (later
+        dispatches read 0). optimize(max_iters=2) decomposes into two k=1
+        bundles, so dispatch i == iteration i."""
+        from gaussian_lic_tpu.engine.trainer import _make_train_bundle
 
-        real_step = _make_train_step(eng.intr, eng.cfg)
+        real_bundle = _make_train_bundle(eng.intr, eng.cfg, 1)
         calls = {"i": 0}
 
-        def fake_step(gm, opt, kf, idx, es):
-            gm2, opt2, m = real_step(gm, opt, kf, idx, es)
+        def fake_bundle(gm, opt, kf, idxs, es0):
+            gm2, opt2, m = real_bundle(gm, opt, kf, idxs, es0)
             i = calls["i"]
             calls["i"] += 1
             m = dict(m)
@@ -241,15 +244,15 @@ class TestSplatBudgetAutoGrow:
             m["overflow"] = m["budget_lost"] + m["truncated"]
             return gm2, opt2, m
 
-        return fake_step
+        eng._bundles[1] = fake_bundle
 
     def test_mid_batch_overflow_still_grows(self):
-        """Overflow on an EARLY iteration of the optimize() batch (zero on the
+        """Overflow on an EARLY dispatch of the optimize() batch (zero on the
         final one) must still grow the budget the same keyframe — the engine
-        accumulates overflow across all steps, not just the last."""
+        accumulates overflow across all dispatches, not just the last."""
         eng = self._small_engine()
         f0 = eng.cfg.splat_budget_factor
-        eng._sharded_step = self._scripted_step(eng, [37, 0], [0, 0])
+        self._script_bundles(eng, [37, 0], [0, 0])
         eng.optimize(max_iters=2)
         assert eng.last_metrics["budget_lost"] == 37.0
         assert eng.cfg.splat_budget_factor > f0
@@ -292,8 +295,8 @@ class TestSplatBudgetAutoGrow:
         by a bigger splat budget: the engine must warn, not grow+recompile."""
         eng = self._small_engine()
         f0 = eng.cfg.splat_budget_factor
+        self._script_bundles(eng, [0, 0], [12, 0])
         compiles0 = eng.timers.compiles
-        eng._sharded_step = self._scripted_step(eng, [0, 0], [12, 0])
         eng.optimize(max_iters=2)
         assert eng.last_metrics["truncated"] == 12.0
         assert eng.cfg.splat_budget_factor == f0

@@ -134,12 +134,19 @@ class TestShardedTrainStep:
         lr_map = dict(xyz=lrs.xyz, dc=lrs.dc, sh_rest=lrs.sh_rest,
                       opacity=lrs.opacity, log_scale=lrs.log_scale,
                       quat=lrs.quat)
+        # mesh of 2: the degenerate-gradient failure mode this guards against
+        # reproduces at n=2 (ADVICE r4 confirmed it), and the driver's
+        # dryrun_multichip(8) runs the identical check at n=8 — n=2 keeps this
+        # CI mirror tractable on the 1-core interpret-mode host.
         step1 = _make_train_step(intr, cfg, with_grads=True)
-        step8 = make_sharded_train_step(intr, cfg, make_mesh(8),
+        step8 = make_sharded_train_step(intr, cfg, make_mesh(2),
                                         with_grads=True)
         gm_s, opt_s = gm, opt
         gm_r, opt_r = gm, opt
-        noise = {name: 0 for name in PARAM_GROUPS}
+        noise = {
+            name: np.zeros(np.asarray(gm.trainable()[name]).shape, bool)
+            for name in PARAM_GROUPS
+        }
         for i in range(2):
             idx = jnp.asarray(i % 2, jnp.int32)
             es = jnp.asarray(i + 1, jnp.int32)
@@ -173,7 +180,8 @@ class TestShardedTrainStep:
         from gaussian_lic_tpu.parallel import make_sharded_train_bundle
 
         cfg, intr, gm, kf, opt = setup
-        mesh = make_mesh(4)
+        mesh = make_mesh(2)  # scan-of-sharded-steps semantics are mesh-size
+        # independent; 2 devices keeps interpret-mode cost tractable
         step = make_sharded_train_step(intr, cfg, mesh)
         gm_r, opt_r = gm, opt
         vis = 0
